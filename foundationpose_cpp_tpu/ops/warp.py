@@ -1,0 +1,102 @@
+"""Batched pose-conditioned crop warps of the observed RGB / xyz images.
+
+TPU-native replacement for the reference's observed branch (TransfProcess,
+foundationpose_render.cpp:731-812): a 252-iteration host loop of per-pose
+cvcuda::WarpPerspective calls becomes one batched inverse-affine gather that
+XLA compiles into a single fused program over the (pose, y, x) grid.
+
+Matches OpenCV/cvcuda warpPerspective semantics: for each destination pixel
+(x, y), sample the source at M^-1 (x, y, 1) -- integer pixel coordinates, no
+half-pixel offset -- with INTERP_LINEAR for RGB (computed on u8 and rounded,
+as cvcuda does, before the 1/255 ConvertTo) and INTERP_NEAREST for xyz, and
+BORDER_CONSTANT 0 outside.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from foundationpose_cpp_tpu.geometry.transforms import invert_affine3
+
+
+def _source_coords(tfs: jnp.ndarray, crop_h: int, crop_w: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Source-image sampling coordinates for every (pose, crop pixel)."""
+    inv = invert_affine3(tfs)  # (N, 3, 3)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (crop_h, crop_w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (crop_h, crop_w), 0)
+    # affine: src = inv @ (x, y, 1)
+    sx = (
+        inv[:, 0, 0][:, None, None] * xs
+        + inv[:, 0, 1][:, None, None] * ys
+        + inv[:, 0, 2][:, None, None]
+    )
+    sy = (
+        inv[:, 1, 0][:, None, None] * xs
+        + inv[:, 1, 1][:, None, None] * ys
+        + inv[:, 1, 2][:, None, None]
+    )
+    return sx, sy
+
+
+def _gather_pixels(img_flat: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, w: int) -> jnp.ndarray:
+    """img_flat: (H*W, C); ix/iy: (...,) int32 -> (..., C)."""
+    idx = iy * w + ix
+    return jnp.take(img_flat, idx, axis=0)
+
+
+def warp_crop_linear_u8(
+    rgb: jnp.ndarray, tfs: jnp.ndarray, crop_h: int, crop_w: int
+) -> jnp.ndarray:
+    """Bilinear warp of a (H, W, 3) u8 image into (N, crop_h, crop_w, 3) f32 in [0,1].
+
+    Interpolation happens in float but the result is rounded to the nearest
+    integer before scaling by 1/255, reproducing cvcuda's u8 warp output
+    followed by ConvertTo (foundationpose_render.cpp:762-797).
+    """
+    h, w, c = rgb.shape
+    sx, sy = _source_coords(tfs, crop_h, crop_w)  # (N, ch, cw)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    img = rgb.astype(jnp.float32).reshape(h * w, c)
+
+    def corner(xc, yc):
+        inb = (xc >= 0) & (xc < w) & (yc >= 0) & (yc < h)
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        vals = _gather_pixels(img, xi, yi, w)
+        return jnp.where(inb[..., None], vals, 0.0)
+
+    v00 = corner(x0, y0)
+    v10 = corner(x0 + 1, y0)
+    v01 = corner(x0, y0 + 1)
+    v11 = corner(x0 + 1, y0 + 1)
+
+    fxc = fx[..., None]
+    fyc = fy[..., None]
+    out = (
+        v00 * (1 - fxc) * (1 - fyc)
+        + v10 * fxc * (1 - fyc)
+        + v01 * (1 - fxc) * fyc
+        + v11 * fxc * fyc
+    )
+    return jnp.round(out) * (1.0 / 255.0)
+
+
+def warp_crop_nearest_f32(
+    img: jnp.ndarray, tfs: jnp.ndarray, crop_h: int, crop_w: int
+) -> jnp.ndarray:
+    """Nearest-neighbor warp of a (H, W, C) f32 image into (N, ch, cw, C)."""
+    h, w, c = img.shape
+    sx, sy = _source_coords(tfs, crop_h, crop_w)
+    xr = jnp.round(sx)
+    yr = jnp.round(sy)
+    inb = (xr >= 0) & (xr < w) & (yr >= 0) & (yr < h)
+    xi = jnp.clip(xr, 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(yr, 0, h - 1).astype(jnp.int32)
+    vals = _gather_pixels(img.reshape(h * w, c), xi, yi, w)
+    return jnp.where(inb[..., None], vals, 0.0)

@@ -1,0 +1,177 @@
+"""Geometry layer goldens: icosphere grid, projections, crop TFs, pose math."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from foundationpose_cpp_tpu.geometry import icosphere, transforms
+
+
+def test_icosphere_vertex_counts():
+    # 12 base vertices; one subdivision -> 42; two -> 162
+    assert icosphere.generate_icosphere_vertices(12).shape == (12, 3)
+    assert icosphere.generate_icosphere_vertices(13).shape == (42, 3)
+    assert icosphere.generate_icosphere_vertices(40).shape == (42, 3)
+    assert icosphere.generate_icosphere_vertices(43).shape == (162, 3)
+
+
+def test_icosphere_vertices_unit_norm():
+    v = icosphere.generate_icosphere_vertices(40)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-6)
+
+
+def test_rotation_grid_is_252_rigid_transforms():
+    grid = icosphere.make_rotation_grid(40, 60)
+    assert grid.shape == (252, 4, 4)
+    # rotations orthonormal, det +1
+    rots = grid[:, :3, :3]
+    eye = np.eye(3, dtype=np.float32)
+    for r in rots[::17]:
+        np.testing.assert_allclose(r @ r.T, eye, atol=1e-5)
+        assert np.linalg.det(r) > 0.99
+    # object-in-camera translation = -R @ cam_pos; |cam_pos| = 1 on the sphere
+    np.testing.assert_allclose(np.linalg.norm(grid[:, :3, 3], axis=1), 1.0, atol=1e-5)
+    assert grid.shape == (icosphere.rotation_grid_size(40, 60), 4, 4)
+
+
+def test_look_at_frames_match_reference_semantics():
+    frames = icosphere.sample_views_icosphere(40)
+    for f in frames[::5]:
+        pos = f[:3, 3]
+        z = f[:3, 2]
+        np.testing.assert_allclose(z, -pos / np.linalg.norm(pos), atol=1e-6)
+        # x orthogonal to up=(0,0,1) unless degenerate
+        np.testing.assert_allclose(f[:3, :3] @ f[:3, :3].T, np.eye(3), atol=1e-5)
+
+
+def test_projection_matrix_matches_formula():
+    K = jnp.asarray([[600.0, 0.0, 320.0], [0.0, 610.0, 240.0], [0.0, 0.0, 1.0]])
+    P = np.asarray(transforms.projection_from_intrinsics(K, 480, 640, 0.1, 100.0))
+    assert P.shape == (4, 4)
+    np.testing.assert_allclose(P[0, 0], 2 * 600 / 640, rtol=1e-6)
+    np.testing.assert_allclose(P[1, 1], 2 * 610 / 480, rtol=1e-6)
+    np.testing.assert_allclose(P[0, 2], (-2 * 320 + 640) / 640, atol=1e-6)
+    np.testing.assert_allclose(P[1, 2], (2 * 240 - 480) / 480, atol=1e-6)
+    np.testing.assert_allclose(P[2, 2], -(100.0 + 0.1) / (100.0 - 0.1), rtol=1e-6)
+    np.testing.assert_allclose(P[2, 3], -2 * 100.0 * 0.1 / (100.0 - 0.1), rtol=1e-6)
+    np.testing.assert_allclose(P[3], [0, 0, -1, 0], atol=0)
+    # a point on the optical axis at znear maps to ndc z = -1, at zfar to +1
+    for zcam, ndc in [(0.1, -1.0), (100.0, 1.0)]:
+        p_gl = np.array([0.0, 0.0, -zcam, 1.0])  # GL camera looks down -z
+        clip = P @ p_gl
+        np.testing.assert_allclose(clip[2] / clip[3], ndc, atol=1e-5)
+
+
+def _numpy_crop_tf(poses, K, out_size, crop_ratio, diameter):
+    """Literal transcription of ComputeCropWindowTF/ComputeTF for the test."""
+    r = np.float32(diameter * crop_ratio / 2)
+    offsets = np.array(
+        [[0, 0, 0], [r, 0, 0], [-r, 0, 0], [0, r, 0], [0, -r, 0]], dtype=np.float32
+    )
+
+    def round_away(x):  # std::round on float
+        return np.sign(x) * np.floor(np.abs(x) + np.float32(0.5))
+
+    tfs = []
+    for pose in poses.astype(np.float32):
+        pts = pose[:3, 3][None, :] + offsets
+        projected = (K.astype(np.float32) @ pts.T).T
+        uvs = projected[:, :2] / projected[:, 2:3]
+        center = uvs[0]
+        radius = abs((uvs - center)[:, 1].max())
+        left = round_away(center[0] - radius)
+        right = round_away(center[0] + radius)
+        top = round_away(center[1] - radius)
+        bottom = round_away(center[1] + radius)
+        tf = np.eye(3)
+        tf[0, 2] = -left
+        tf[1, 2] = -top
+        new_tf = np.eye(3)
+        new_tf[0, 0] = out_size[0] / (right - left)
+        new_tf[1, 1] = out_size[1] / (bottom - top)
+        tfs.append(new_tf @ tf)
+    return np.stack(tfs)
+
+
+def test_crop_window_tf_matches_reference_math():
+    rng = np.random.default_rng(0)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], dtype=np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[:, :3, 3] = rng.uniform([-0.2, -0.2, 0.4], [0.2, 0.2, 1.2], (5, 3))
+    got = np.asarray(
+        transforms.compute_crop_window_tf(
+            jnp.asarray(poses), jnp.asarray(K), (160, 160), 1.2, 0.2
+        )
+    )
+    want = _numpy_crop_tf(poses, K, (160, 160), 1.2, 0.2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bbox2d_roundtrip():
+    rng = np.random.default_rng(1)
+    K = jnp.asarray([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    poses = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    poses[:, :3, 3] = rng.uniform([-0.1, -0.1, 0.5], [0.1, 0.1, 1.0], (4, 3))
+    tfs = transforms.compute_crop_window_tf(jnp.asarray(poses), K, (160, 160), 1.2, 0.15)
+    bbox = np.asarray(transforms.construct_bbox2d(tfs, 160, 160))
+    # mapping the returned original-image corners through tf gives crop corners
+    tfs_np = np.asarray(tfs)
+    for i in range(4):
+        tl = tfs_np[i] @ np.array([bbox[i, 0], bbox[i, 1], 1.0])
+        br = tfs_np[i] @ np.array([bbox[i, 2], bbox[i, 3], 1.0])
+        np.testing.assert_allclose(tl[:2], [0, 0], atol=1e-3)
+        np.testing.assert_allclose(br[:2], [159, 159], atol=1e-3)
+
+
+def test_axis_angle_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(2)
+    rv = rng.normal(size=(10, 3)).astype(np.float32) * 0.5
+    rv[0] = 0.0  # degenerate case
+    got = np.asarray(transforms.axis_angle_to_matrix(jnp.asarray(rv)))
+    want = Rotation.from_rotvec(rv).as_matrix()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_apply_refine_delta_matches_reference_composition():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(3)
+    n = 6
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, :3, :3] = Rotation.random(n, rng).as_matrix()
+    poses[:, :3, 3] = rng.normal(size=(n, 3)) * 0.1
+    trans = rng.normal(size=(n, 3)).astype(np.float32)
+    rot = rng.normal(size=(n, 3)).astype(np.float32)
+    diameter = 0.19
+
+    got = np.asarray(
+        transforms.apply_refine_delta(
+            jnp.asarray(poses), jnp.asarray(trans), jnp.asarray(rot), diameter
+        )
+    )
+
+    for i in range(n):
+        t_new = poses[i, :3, 3] + trans[i] * diameter / 2
+        rv = np.tanh(rot[i]) * 0.349065850398865
+        r_delta = Rotation.from_rotvec(rv).as_matrix().T
+        r_new = r_delta @ poses[i, :3, :3]
+        np.testing.assert_allclose(got[i, :3, 3], t_new, atol=1e-5)
+        np.testing.assert_allclose(got[i, :3, :3], r_new, atol=1e-5)
+        np.testing.assert_allclose(got[i, 3], [0, 0, 0, 1], atol=0)
+
+
+def test_convert_pose_mesh2bbox():
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [1.0, 2.0, 3.0]
+    center = np.array([0.1, 0.2, 0.3], dtype=np.float32)
+    ob = np.eye(4, dtype=np.float32)
+    ob[:3, 3] = [0.5, 0, 0]
+    got = np.asarray(
+        transforms.convert_pose_mesh2bbox(
+            jnp.asarray(pose), jnp.asarray(center), jnp.asarray(ob)
+        )
+    )
+    tf_c = np.eye(4)
+    tf_c[:3, 3] = -center
+    np.testing.assert_allclose(got, pose @ tf_c @ ob, atol=1e-6)
