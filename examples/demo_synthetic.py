@@ -1,0 +1,110 @@
+"""Demo: Register + Track on a synthetic textured-cube scene.
+
+The JAX-native analogue of the reference's foundationpose_test.test
+(simple_tests/src/test_foundationpose.cpp:48-104): register on a first frame,
+draw the oriented 3-D bounding box, then track across frames feeding each
+output pose into the next.
+
+Usage: python examples/demo_synthetic.py [--frames N] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import time
+
+import numpy as np
+
+from foundationpose_cpp_tpu import create_foundationpose_model, networks
+from foundationpose_cpp_tpu.config import FoundationPoseConfig
+from foundationpose_cpp_tpu.meshio import procedural
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+from foundationpose_cpp_tpu.utils import synthetic
+
+
+def draw_3d_bbox(rgb, K, pose_bbox, dimension):
+    """Project the 8 OBB corners and draw the 12 edges (help_func.hpp:54-106)."""
+    import cv2
+
+    half = np.asarray(dimension) / 2.0
+    corners = np.array(
+        [[sx * half[0], sy * half[1], sz * half[2], 1.0]
+         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    cam = (pose_bbox @ corners.T).T[:, :3]
+    uv = (K @ cam.T).T
+    uv = (uv[:, :2] / uv[:, 2:3]).astype(int)
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7), (6, 7),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    img = rgb.copy()
+    for a, b in edges:
+        cv2.line(img, tuple(uv[a]), tuple(uv[b]), (0, 255, 0), 2)
+    return img
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", type=str, default="/tmp/fp_demo")
+    ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
+    args = ap.parse_args()
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    h, w = args.hw
+    K = np.array([[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]], np.float32)
+    cfg = FoundationPoseConfig()
+    cube = procedural.textured_cube(size=0.1)
+    mesh = MeshConstants.from_asset(cube)
+
+    model = create_foundationpose_model(
+        networks.init_refiner(0),
+        networks.init_scorer(1),
+        [cube], K, h, w, config=cfg,
+    )
+
+    # ground-truth trajectory: slow rotation + drift
+    from scipy.spatial.transform import Rotation
+
+    def gt_pose(i):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = Rotation.from_euler(
+            "xyz", [25 + 3 * i, -15 + 2 * i, 40 + 5 * i], degrees=True
+        ).as_matrix()
+        pose[:3, 3] = [0.02 + 0.002 * i, -0.01, 0.5 + 0.005 * i]
+        return pose
+
+    print("rendering synthetic frames...")
+    frames = [synthetic.render_scene(mesh, gt_pose(i), K, h, w, cfg)
+              for i in range(args.frames)]
+
+    rgb, depth, mask = frames[0]
+    print("Register on frame 0...")
+    t0 = time.perf_counter()
+    pose = model.register(rgb, depth, mask, "cube")
+    print(f"  first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    print("  pose:\n", np.round(pose, 4))
+
+    bbox_pose = model.convert_pose_mesh2bbox(pose, "cube")
+    img = draw_3d_bbox(rgb, K, bbox_pose, model.object_dimension("cube"))
+    import cv2
+
+    cv2.imwrite(str(out_dir / "register_bbox.png"), img[..., ::-1])
+    print(f"  wrote {out_dir / 'register_bbox.png'}")
+
+    print("Track over frames...")
+    for i, (rgb, depth, _) in enumerate(frames[1:], start=1):
+        t0 = time.perf_counter()
+        pose = model.track(rgb, depth, pose, "cube")
+        dt = time.perf_counter() - t0
+        err = np.linalg.norm(pose[:3, 3] - gt_pose(i)[:3, 3])
+        print(f"  frame {i}: {dt * 1e3:7.1f} ms  |t err| = {err:.4f} m")
+        img = draw_3d_bbox(rgb, K, model.convert_pose_mesh2bbox(pose, "cube"),
+                           model.object_dimension("cube"))
+        cv2.imwrite(str(out_dir / f"track_{i:03d}.png"), img[..., ::-1])
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

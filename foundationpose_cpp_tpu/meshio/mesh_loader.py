@@ -1,0 +1,410 @@
+"""Mesh asset loading: the reference AssimpMeshLoader rebuilt without Assimp.
+
+Reference: detection_6d_foundationpose/src/mesh_loader/assimp_mesh_loader.cpp
+(297 LoC) and include/detection_6d_foundationpose/mesh_loader.hpp. Semantics
+reproduced:
+
+- triangulated faces, vertices deduplicated by the full (position, normal,
+  uv) tuple (assimp Triangulate | JoinIdenticalVertices | SortByPType)
+- mesh "diameter" = max pairwise vertex distance (assimp loader computes it
+  O(V^2), :47-60; we get the identical value from the convex hull)
+- model center = AABB center (:180), NOT the centroid
+- oriented bounding box via PCA of the vertex covariance; the 4x4 carries the
+  eigenvector rotation and the vertex MEAN (:62-114); object dimension =
+  extent of vertices projected onto the eigenbasis
+- texture: diffuse map resolved next to the mesh file; missing/unreadable ->
+  2x2 constant gray (100,100,100) fallback (PR#13 texture-less parity mode,
+  :216-222); stored RGB
+- UV channel 0 required (loader throws when absent, :182-185); we add an
+  opt-in `allow_missing_uv` that synthesizes zeros + gray texture as a
+  documented extension beyond the reference
+
+A small C++ parser (native/) accelerates big OBJ files; this module is the
+reference implementation and fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pathlib
+
+import numpy as np
+
+GRAY_FALLBACK_RGB = (100, 100, 100)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshAsset:
+    """Immutable mesh bundle with everything the renderer needs.
+
+    Arrays are plain numpy (host); the pipeline converts to device constants
+    (padded to static shapes) when building its compiled programs.
+    """
+
+    name: str
+    vertices: np.ndarray  # (V, 3) f32, raw model frame
+    vertex_normals: np.ndarray  # (V, 3) f32
+    texcoords: np.ndarray  # (V, 2) f32 (raw; renderer flips v)
+    faces: np.ndarray  # (F, 3) int32
+    texture: np.ndarray  # (Th, Tw, 3) f32 in [0, 1], RGB
+    diameter: float
+    model_center: np.ndarray  # (3,) f32, AABB center
+    orient_bounds: np.ndarray  # (4, 4) f32, PCA rotation + vertex mean
+    dimensions: np.ndarray  # (3,) f32, extents in the PCA basis
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+    @property
+    def num_faces(self) -> int:
+        return int(self.faces.shape[0])
+
+
+def mesh_diameter(vertices: np.ndarray) -> float:
+    """Exact max pairwise distance.
+
+    Equals AssimpMeshLoader::CalcMeshDiameter's O(V^2) loop (:47-60); computed
+    on the convex hull (the farthest pair is always hull-hull) so large
+    scanned meshes load in milliseconds instead of minutes.
+    """
+    pts = np.asarray(vertices, dtype=np.float64)
+    if pts.shape[0] <= 2:
+        if pts.shape[0] < 2:
+            return 0.0
+        return float(np.linalg.norm(pts[0] - pts[1]))
+    try:
+        from scipy.spatial import ConvexHull
+
+        hull_pts = pts[np.unique(ConvexHull(pts, qhull_options="QJ").vertices)]
+    except Exception:  # degenerate (planar/collinear) meshes
+        hull_pts = pts
+    d2 = 0.0
+    # hull vertex counts are small; blockwise pairwise distances
+    for i in range(0, hull_pts.shape[0], 512):
+        blk = hull_pts[i : i + 512]
+        diff = blk[:, None, :] - hull_pts[None, :, :]
+        d2 = max(d2, float((diff * diff).sum(-1).max()))
+    return float(np.sqrt(d2))
+
+
+def compute_obb(vertices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """PCA oriented bounds (ComputeOBB, assimp_mesh_loader.cpp:62-114).
+
+    Returns (orient_bounds 4x4 [R | mean], dimensions (3,)).
+    """
+    pts = np.asarray(vertices, dtype=np.float64)
+    mean = pts.mean(axis=0)
+    diff = pts - mean
+    cov = (diff.T @ diff) / pts.shape[0]
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending, like Eigen's solver
+    rotation = eigvecs
+    transform = np.eye(4, dtype=np.float32)
+    transform[:3, :3] = rotation.astype(np.float32)
+    transform[:3, 3] = mean.astype(np.float32)
+    projected = pts @ rotation  # rotation^T applied to each vertex
+    dimensions = (projected.max(axis=0) - projected.min(axis=0)).astype(np.float32)
+    return transform, dimensions
+
+
+def aabb_center(vertices: np.ndarray) -> np.ndarray:
+    """(min + max) / 2 (FindMinMaxVertex + :180)."""
+    v = np.asarray(vertices)
+    return ((v.min(axis=0) + v.max(axis=0)) / 2.0).astype(np.float32)
+
+
+def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals for meshes that ship without them."""
+    v = np.asarray(vertices, dtype=np.float64)
+    f = np.asarray(faces, dtype=np.int64)
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    normals = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(normals, f[:, k], fn)
+    norms = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = np.where(norms > 1e-20, normals / np.maximum(norms, 1e-20), 0.0)
+    return normals.astype(np.float32)
+
+
+def _load_texture_image(path: str | None) -> np.ndarray:
+    """RGB f32 [0,1] texture; 2x2 gray fallback like the reference (:216-223)."""
+    img = None
+    if path and os.path.exists(path):
+        try:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"))
+        except Exception:
+            img = None
+    if img is None:
+        img = np.full((2, 2, 3), GRAY_FALLBACK_RGB, dtype=np.uint8)
+    return img.astype(np.float32) / 255.0
+
+
+def _parse_mtl_texture(mtl_path: pathlib.Path) -> str | None:
+    """First map_Kd entry of an .mtl file, resolved next to it."""
+    try:
+        for line in mtl_path.read_text(errors="ignore").splitlines():
+            parts = line.strip().split()
+            if len(parts) >= 2 and parts[0].lower() == "map_kd":
+                return str(mtl_path.parent / parts[-1])
+    except OSError:
+        return None
+    return None
+
+
+def _parse_obj(path: pathlib.Path):
+    """Minimal OBJ parser: v / vt / vn / f (+ mtllib texture discovery).
+
+    Builds one output vertex per unique (v, vt, vn) index triple -- the same
+    dedup assimp's JoinIdenticalVertices yields -- and triangulates polygons
+    as fans, like aiProcess_Triangulate.
+    """
+    positions: list[list[float]] = []
+    uvs: list[list[float]] = []
+    normals: list[list[float]] = []
+    corner_map: dict[tuple[int, int, int], int] = {}
+    out_pos: list[list[float]] = []
+    out_uv: list[list[float]] = []
+    out_nrm: list[list[float]] = []
+    faces: list[tuple[int, int, int]] = []
+    texture_path: str | None = None
+
+    def corner_index(token: str) -> int:
+        comp = token.split("/")
+        vi = int(comp[0])
+        ti = int(comp[1]) if len(comp) > 1 and comp[1] else 0
+        ni = int(comp[2]) if len(comp) > 2 and comp[2] else 0
+        vi = vi - 1 if vi > 0 else len(positions) + vi
+        ti = ti - 1 if ti > 0 else (len(uvs) + ti if ti else -1)
+        ni = ni - 1 if ni > 0 else (len(normals) + ni if ni else -1)
+        key = (vi, ti, ni)
+        if key in corner_map:
+            return corner_map[key]
+        idx = len(out_pos)
+        out_pos.append(positions[vi])
+        out_uv.append(uvs[ti] if ti >= 0 else None)
+        out_nrm.append(normals[ni] if ni >= 0 else None)
+        corner_map[key] = idx
+        return idx
+
+    with open(path, "r", errors="ignore") as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "v":
+                positions.append([float(x) for x in parts[1:4]])
+            elif tag == "vt":
+                uvs.append([float(parts[1]), float(parts[2]) if len(parts) > 2 else 0.0])
+            elif tag == "vn":
+                normals.append([float(x) for x in parts[1:4]])
+            elif tag == "f":
+                idxs = [corner_index(tok) for tok in parts[1:]]
+                for k in range(1, len(idxs) - 1):  # fan triangulation
+                    faces.append((idxs[0], idxs[k], idxs[k + 1]))
+            elif tag == "mtllib" and texture_path is None:
+                mtl = path.parent / " ".join(parts[1:])
+                if mtl.exists():
+                    texture_path = _parse_mtl_texture(mtl)
+
+    has_uv = any(u is not None for u in out_uv)
+    has_nrm = all(n is not None for n in out_nrm) and len(out_nrm) > 0
+    pos = np.asarray(out_pos, dtype=np.float32)
+    uv = (
+        np.asarray([u if u is not None else [0.0, 0.0] for u in out_uv], dtype=np.float32)
+        if has_uv
+        else None
+    )
+    nrm = np.asarray(out_nrm, dtype=np.float32) if has_nrm else None
+    face_arr = np.asarray(faces, dtype=np.int32)
+    return pos, uv, nrm, face_arr, texture_path
+
+
+def _parse_ply(path: pathlib.Path):
+    """ASCII / binary_little_endian PLY with x,y,z[,nx,ny,nz][,u|s,v|t]."""
+    import struct
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    header_end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii", errors="ignore").splitlines()
+    body = data[header_end:]
+
+    fmt = None
+    elements: list[tuple[str, int, list[tuple[str, str]]]] = []
+    cur = None
+    for line in header:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            cur = (parts[1], int(parts[2]), [])
+            elements.append(cur)
+        elif parts[0] == "property" and cur is not None:
+            if parts[1] == "list":
+                cur[2].append(("list:" + parts[2] + ":" + parts[3], parts[4]))
+            else:
+                cur[2].append((parts[1], parts[2]))
+
+    type_map = {
+        "float": ("f", 4), "float32": ("f", 4), "double": ("d", 8),
+        "uchar": ("B", 1), "uint8": ("B", 1), "char": ("b", 1), "int8": ("b", 1),
+        "short": ("h", 2), "ushort": ("H", 2), "int": ("i", 4), "int32": ("i", 4),
+        "uint": ("I", 4), "uint32": ("I", 4),
+    }
+
+    verts, normals, uvs, faces = [], [], [], []
+    offset = 0
+    if fmt == "ascii":
+        lines = body.decode("ascii", errors="ignore").split("\n")
+        li = 0
+        for name, count, props in elements:
+            for _ in range(count):
+                toks = lines[li].split()
+                li += 1
+                if name == "vertex":
+                    vals = {}
+                    ti = 0
+                    for ptype, pname in props:
+                        vals[pname] = float(toks[ti])
+                        ti += 1
+                    verts.append([vals["x"], vals["y"], vals["z"]])
+                    if "nx" in vals:
+                        normals.append([vals["nx"], vals["ny"], vals["nz"]])
+                    u = vals.get("u", vals.get("s"))
+                    v = vals.get("v", vals.get("t"))
+                    if u is not None:
+                        uvs.append([u, v])
+                elif name == "face":
+                    n = int(toks[0])
+                    idxs = [int(t) for t in toks[1 : 1 + n]]
+                    for k in range(1, n - 1):
+                        faces.append((idxs[0], idxs[k], idxs[k + 1]))
+    else:
+        assert fmt == "binary_little_endian", f"unsupported PLY format {fmt}"
+        for name, count, props in elements:
+            for _ in range(count):
+                if name == "vertex":
+                    vals = {}
+                    for ptype, pname in props:
+                        code, size = type_map[ptype]
+                        (val,) = struct.unpack_from("<" + code, body, offset)
+                        offset += size
+                        vals[pname] = float(val)
+                    verts.append([vals["x"], vals["y"], vals["z"]])
+                    if "nx" in vals:
+                        normals.append([vals["nx"], vals["ny"], vals["nz"]])
+                    u = vals.get("u", vals.get("s"))
+                    v = vals.get("v", vals.get("t"))
+                    if u is not None:
+                        uvs.append([u, v])
+                elif name == "face":
+                    ptype, _ = props[0]
+                    _, cnt_t, idx_t = ptype.split(":")
+                    ccode, csize = type_map[cnt_t]
+                    icode, isize = type_map[idx_t]
+                    (n,) = struct.unpack_from("<" + ccode, body, offset)
+                    offset += csize
+                    idxs = struct.unpack_from("<" + icode * n, body, offset)
+                    offset += isize * n
+                    for k in range(1, n - 1):
+                        faces.append((idxs[0], idxs[k], idxs[k + 1]))
+
+    pos = np.asarray(verts, dtype=np.float32)
+    nrm = np.asarray(normals, dtype=np.float32) if normals else None
+    uv = np.asarray(uvs, dtype=np.float32) if uvs else None
+    face_arr = np.asarray(faces, dtype=np.int32)
+    return pos, uv, nrm, face_arr, None
+
+
+def load_mesh(
+    name: str,
+    mesh_path: str,
+    texture_path: str | None = None,
+    allow_missing_uv: bool = False,
+) -> MeshAsset:
+    """Load an OBJ/PLY mesh into a MeshAsset (CreateAssimpMeshLoader parity).
+
+    Raises on missing UVs like the reference (:182-185) unless
+    allow_missing_uv=True, which synthesizes zero UVs (they sample the
+    constant-gray fallback texture uniformly, so rendering is well-defined).
+    """
+    path = pathlib.Path(mesh_path)
+    if not path.exists():
+        raise FileNotFoundError(f"[MeshLoader] mesh file not found: {mesh_path}")
+    suffix = path.suffix.lower()
+    if suffix == ".obj":
+        pos, uv, nrm, faces, tex_from_mtl = _parse_obj(path)
+    elif suffix == ".ply":
+        pos, uv, nrm, faces, tex_from_mtl = _parse_ply(path)
+    else:
+        raise ValueError(f"[MeshLoader] unsupported mesh format: {suffix}")
+
+    if pos.shape[0] == 0 or faces.shape[0] == 0:
+        raise ValueError(f"[MeshLoader] empty mesh: {mesh_path}")
+
+    if uv is None:
+        if not allow_missing_uv:
+            raise ValueError(
+                "[MeshLoader] mesh has no texture coordinates "
+                "(reference loader throws here); pass allow_missing_uv=True "
+                "to render with the constant-gray fallback texture"
+            )
+        uv = np.zeros((pos.shape[0], 2), dtype=np.float32)
+    if nrm is None:
+        nrm = compute_vertex_normals(pos, faces)
+
+    texture = _load_texture_image(texture_path or tex_from_mtl)
+    obb, dims = compute_obb(pos)
+    return MeshAsset(
+        name=name,
+        vertices=pos,
+        vertex_normals=nrm,
+        texcoords=uv[:, :2].astype(np.float32),
+        faces=faces,
+        texture=texture,
+        diameter=mesh_diameter(pos),
+        model_center=aabb_center(pos),
+        orient_bounds=obb,
+        dimensions=dims,
+    )
+
+
+def make_mesh_asset(
+    name: str,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    texcoords: np.ndarray | None = None,
+    vertex_normals: np.ndarray | None = None,
+    texture: np.ndarray | None = None,
+) -> MeshAsset:
+    """Build a MeshAsset from in-memory arrays (for procedural/test meshes and
+    BundleSDF-style pipelines that hand over reconstructed geometry)."""
+    vertices = np.asarray(vertices, dtype=np.float32)
+    faces = np.asarray(faces, dtype=np.int32)
+    if texcoords is None:
+        texcoords = np.zeros((vertices.shape[0], 2), dtype=np.float32)
+    if vertex_normals is None:
+        vertex_normals = compute_vertex_normals(vertices, faces)
+    if texture is None:
+        texture = (
+            np.full((2, 2, 3), GRAY_FALLBACK_RGB, dtype=np.float32) / 255.0
+        )
+    obb, dims = compute_obb(vertices)
+    return MeshAsset(
+        name=name,
+        vertices=vertices,
+        vertex_normals=np.asarray(vertex_normals, dtype=np.float32),
+        texcoords=np.asarray(texcoords, dtype=np.float32),
+        faces=faces,
+        texture=np.asarray(texture, dtype=np.float32),
+        diameter=mesh_diameter(vertices),
+        model_center=aabb_center(vertices),
+        orient_bounds=obb,
+        dimensions=dims,
+    )

@@ -1,0 +1,127 @@
+"""Procedural test meshes (textured cube / UV-sphere / cylinder).
+
+The reference validates against the mustard0 dataset, which is a gated
+download (test_data/download.md); these procedural assets give the test suite
+and benchmarks deterministic, self-contained geometry with the same structure
+(triangulated, UV-mapped, textured).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from foundationpose_cpp_tpu.meshio.mesh_loader import MeshAsset, make_mesh_asset
+
+
+def checkerboard_texture(size: int = 64, squares: int = 8) -> np.ndarray:
+    """(size, size, 3) f32 RGB checkerboard in [0, 1]."""
+    ys, xs = np.mgrid[0:size, 0:size]
+    cell = size // squares
+    check = ((ys // cell + xs // cell) % 2).astype(np.float32)
+    tex = np.stack(
+        [0.2 + 0.7 * check, 0.5 - 0.3 * check, 0.3 + 0.4 * (1 - check)], axis=-1
+    )
+    return tex.astype(np.float32)
+
+
+def textured_cube(name: str = "cube", size: float = 0.1) -> MeshAsset:
+    """Axis-aligned cube with per-face UVs (24 verts, 12 tris)."""
+    s = size / 2.0
+    verts, uvs, normals, faces = [], [], [], []
+    # (axis, sign) per face; build 4 corners each
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            u_axis, v_axis = [a for a in range(3) if a != axis]
+            base = len(verts)
+            for du, dv in [(-1, -1), (1, -1), (1, 1), (-1, 1)]:
+                p = [0.0, 0.0, 0.0]
+                p[axis] = sign * s
+                p[u_axis] = du * s
+                p[v_axis] = dv * s
+                verts.append(p)
+                uvs.append([(du + 1) / 2, (dv + 1) / 2])
+                n = [0.0, 0.0, 0.0]
+                n[axis] = sign
+                normals.append(n)
+            if sign > 0:
+                faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+            else:
+                faces += [[base, base + 2, base + 1], [base, base + 3, base + 2]]
+    return make_mesh_asset(
+        name,
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        np.asarray(uvs, np.float32),
+        np.asarray(normals, np.float32),
+        checkerboard_texture(),
+    )
+
+
+def textured_uv_sphere(
+    name: str = "sphere",
+    radius: float = 0.05,
+    n_lat: int = 16,
+    n_lon: int = 24,
+) -> MeshAsset:
+    """UV-sphere with (n_lat+1) x (n_lon+1) vertex grid (seam duplicated)."""
+    lats = np.linspace(0.0, np.pi, n_lat + 1)
+    lons = np.linspace(0.0, 2 * np.pi, n_lon + 1)
+    verts, uvs, normals = [], [], []
+    for i, la in enumerate(lats):
+        for j, lo in enumerate(lons):
+            n = [np.sin(la) * np.cos(lo), np.sin(la) * np.sin(lo), np.cos(la)]
+            verts.append([radius * c for c in n])
+            normals.append(n)
+            uvs.append([j / n_lon, i / n_lat])
+    faces = []
+    stride = n_lon + 1
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * stride + j
+            b = a + 1
+            c = a + stride
+            d = c + 1
+            if i > 0:
+                faces.append([a, c, b])
+            if i < n_lat - 1:
+                faces.append([b, c, d])
+    return make_mesh_asset(
+        name,
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        np.asarray(uvs, np.float32),
+        np.asarray(normals, np.float32),
+        checkerboard_texture(),
+    )
+
+
+def write_obj(asset: MeshAsset, path: str, texture_path: str | None = None) -> None:
+    """Write an asset as OBJ (+MTL+PNG when texture_path given) for loader tests."""
+    lines = []
+    mtl_name = None
+    if texture_path is not None:
+        from PIL import Image
+        import pathlib
+
+        Image.fromarray((asset.texture * 255).astype(np.uint8)).save(texture_path)
+        mtl_path = pathlib.Path(path).with_suffix(".mtl")
+        tex_rel = pathlib.Path(texture_path).name
+        mtl_path.write_text(
+            f"newmtl material0\nKd 1 1 1\nmap_Kd {tex_rel}\n"
+        )
+        lines.append(f"mtllib {mtl_path.name}")
+        mtl_name = "material0"
+    for v in asset.vertices:
+        lines.append(f"v {v[0]} {v[1]} {v[2]}")
+    for t in asset.texcoords:
+        lines.append(f"vt {t[0]} {t[1]}")
+    for n in asset.vertex_normals:
+        lines.append(f"vn {n[0]} {n[1]} {n[2]}")
+    if mtl_name:
+        lines.append(f"usemtl {mtl_name}")
+    for f in asset.faces:
+        lines.append(
+            "f " + " ".join(f"{i + 1}/{i + 1}/{i + 1}" for i in f)
+        )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")

@@ -1,0 +1,290 @@
+"""FoundationPose: the public Register/Track pipeline, one XLA program each.
+
+Reference API surface: Base6DofDetectionModel::{Register, Track}
+(include/detection_6d_foundationpose/foundationpose.hpp:36-64) and the
+orchestration in src/foundationpose.cpp:181-265. Input contracts preserved:
+RGB order uint8 image, float32 metric depth, uint8 binary mask (Register
+only), intrinsics bound to the image geometry, per-mesh registry keyed by
+target name, poses emitted in the mesh coordinate frame, refine_itr
+parameter (default 1), size/registry validation mirroring
+CheckInputArguments (:155-179).
+
+TPU-native structure (SURVEY.md SS7): where the reference's Register crosses
+the host/device boundary >= 6 times per call (upload, sampler D2H, per-stage
+blob staging, host Eigen pose composition, thrust argmax), each call here is
+ONE compiled XLA program with one H2D (the frame) and one D2H (the pose):
+
+  register: depth filters -> on-device translation guess -> 252-pose grid ->
+            scan(refine_itr) [render+crop -> refiner -> compose delta] ->
+            render+crop(1.1) -> scorer -> argmax
+
+Programs are compiled per (mesh, image size, hypothesis count, refine_itr)
+and cached -- the same policy as the reference's TensorRT engines with
+dynamic-shape buckets (tools/cvt_onnx2trt.bash), which also JIT per shape
+profile. Dynamic-sized input (reference README.md:20) works by recompiling
+once per new camera geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foundationpose_cpp_tpu.config import DEFAULT_CONFIG, FoundationPoseConfig
+from foundationpose_cpp_tpu.geometry import icosphere, transforms
+from foundationpose_cpp_tpu.meshio.mesh_loader import MeshAsset
+from foundationpose_cpp_tpu.models import networks
+from foundationpose_cpp_tpu.ops import depth as depth_ops
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants, render_and_transform
+
+
+class FoundationPose:
+    """Multi-mesh 6-DoF pose estimator (CreateFoundationPoseModel parity)."""
+
+    def __init__(
+        self,
+        refiner_params: Any,
+        scorer_params: Any,
+        mesh_assets: list[MeshAsset],
+        intrinsic: np.ndarray,
+        max_input_image_h: int = 1080,
+        max_input_image_w: int = 1920,
+        config: FoundationPoseConfig = DEFAULT_CONFIG,
+        net_config: networks.NetConfig = networks.NetConfig(),
+        rasterize_fn: Any = None,
+    ) -> None:
+        if not mesh_assets:
+            raise ValueError("[FoundationPose] need at least one mesh asset")
+        self._cfg = config
+        self._net_cfg = net_config
+        self._refiner_params = refiner_params
+        self._scorer_params = scorer_params
+        self._K = jnp.asarray(np.asarray(intrinsic, dtype=np.float32))
+        self._max_h = max_input_image_h
+        self._max_w = max_input_image_w
+        self._meshes: dict[str, MeshConstants] = {}
+        self._assets: dict[str, MeshAsset] = {}
+        for asset in mesh_assets:
+            if asset.name in self._meshes:
+                raise ValueError(f"[FoundationPose] duplicate mesh name '{asset.name}'")
+            self._meshes[asset.name] = MeshConstants.from_asset(asset)
+            self._assets[asset.name] = asset
+        self._rot_grid = jnp.asarray(
+            icosphere.make_rotation_grid(config.n_views, config.inplane_step_deg)
+        )
+        self._rasterize_fn = rasterize_fn
+        self._register_cache: dict[tuple, Any] = {}
+        self._track_cache: dict[tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    # validation (CheckInputArguments, foundationpose.cpp:155-179)
+
+    def _check_inputs(self, rgb, depth, mask, target_name) -> None:
+        if rgb.shape[:2] != depth.shape[:2] or (
+            mask is not None and mask.shape[:2] != depth.shape[:2]
+        ):
+            raise ValueError(
+                f"[FoundationPose] rgb/depth/mask size mismatch: "
+                f"{rgb.shape[:2]} vs {depth.shape[:2]}"
+                + (f" vs {mask.shape[:2]}" if mask is not None else "")
+            )
+        if rgb.shape[0] > self._max_h or rgb.shape[1] > self._max_w:
+            raise ValueError(
+                f"[FoundationPose] image {rgb.shape[:2]} exceeds construction "
+                f"max ({self._max_h}, {self._max_w})"
+            )
+        if target_name not in self._meshes:
+            raise KeyError(
+                f"[FoundationPose] unknown target '{target_name}'; registered: "
+                f"{sorted(self._meshes)}"
+            )
+        if rgb.dtype != np.uint8:
+            raise TypeError("[FoundationPose] rgb must be uint8 RGB")
+        if depth.dtype != np.float32:
+            raise TypeError("[FoundationPose] depth must be float32 meters")
+
+    # ------------------------------------------------------------------
+    # traced program bodies
+
+    def _refine_loop(self, mesh, params_r, poses, rgb, xyz_map, refine_itr):
+        """scan over refine iterations: render -> refiner -> compose delta."""
+        cfg = self._cfg
+
+        def body(poses, _):
+            render_in, transf_in = render_and_transform(
+                mesh, poses, rgb, xyz_map, self._K, cfg.refine_crop_ratio, cfg,
+                self._rasterize_fn,
+            )
+            out = networks.apply_refiner(params_r, render_in, transf_in, self._net_cfg)
+            new_poses = transforms.apply_refine_delta(
+                poses, out["trans"], out["rot"], mesh.diameter, cfg.rot_normalizer
+            )
+            return new_poses, None
+
+        poses, _ = jax.lax.scan(body, poses, None, length=refine_itr)
+        return poses
+
+    def _register_program(self, mesh_name: str, refine_itr: int):
+        mesh = self._meshes[mesh_name]
+        cfg = self._cfg
+
+        @functools.partial(jax.jit, static_argnums=())
+        def program(params_r, params_s, rgb, depth, mask, rot_grid):
+            # sampler (FoundationPoseSampler::GetHypPoses, on-device)
+            df = cfg.depth_filter
+            eroded = depth_ops.erode_depth(
+                depth, df.erode_radius, df.erode_depth_diff_thres,
+                df.erode_ratio_thres, df.zfar,
+            )
+            filtered = depth_ops.bilateral_filter_depth(
+                eroded, df.bilateral_radius, df.bilateral_sigma_d,
+                df.bilateral_sigma_r, df.zfar, df.bilateral_mean_band,
+            )
+            center, ok = depth_ops.guess_translation(
+                filtered, mask, self._K, cfg.min_depth
+            )
+            poses = rot_grid.at[:, :3, 3].set(center[None, :])
+
+            xyz_map = depth_ops.depth_to_xyz(depth, self._K, cfg.min_depth)
+
+            poses = self._refine_loop(
+                mesh, params_r, poses, rgb, xyz_map, refine_itr
+            )
+
+            render_in, transf_in = render_and_transform(
+                mesh, poses, rgb, xyz_map, self._K, cfg.score_crop_ratio, cfg,
+                self._rasterize_fn,
+            )
+            out = networks.apply_scorer(params_s, render_in, transf_in, self._net_cfg)
+            scores = out["scores"][:, 0]
+            best = jnp.argmax(scores)  # getMaxScoreIndex (thrust) equivalent
+            return poses[best], poses, scores, ok
+
+        return program
+
+    def _track_program(self, mesh_name: str, refine_itr: int):
+        mesh = self._meshes[mesh_name]
+        cfg = self._cfg
+
+        @jax.jit
+        def program(params_r, rgb, depth, pose):
+            xyz_map = depth_ops.depth_to_xyz(depth, self._K, cfg.min_depth)
+            poses = pose[None, :, :]
+            poses = self._refine_loop(
+                mesh, params_r, poses, rgb, xyz_map, refine_itr
+            )
+            return poses[0]
+
+        return program
+
+    # ------------------------------------------------------------------
+    # public API
+
+    def register(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        mask: np.ndarray,
+        target_name: str,
+        refine_itr: int = 1,
+    ) -> np.ndarray:
+        """Cold-start pose estimation; returns a 4x4 pose in mesh frame.
+
+        Mirrors FoundationPose::Register (foundationpose.cpp:181-228).
+        Raises RuntimeError when the mask is empty / has no valid depth (the
+        reference's sampler CHECK_STATE failure path).
+        """
+        self._check_inputs(rgb, depth, mask, target_name)
+        key = ("register", target_name, rgb.shape[:2], int(refine_itr))
+        if key not in self._register_cache:
+            self._register_cache[key] = self._register_program(
+                target_name, int(refine_itr)
+            )
+        program = self._register_cache[key]
+        best, _, _, ok = program(
+            self._refiner_params,
+            self._scorer_params,
+            jnp.asarray(rgb),
+            jnp.asarray(depth),
+            jnp.asarray(mask),
+            self._rot_grid,
+        )
+        if not bool(ok):
+            raise RuntimeError(
+                "[FoundationPose] translation guess failed: mask is empty or "
+                "contains no valid depth"
+            )
+        return np.asarray(best)
+
+    def register_with_scores(
+        self, rgb, depth, mask, target_name, refine_itr: int = 1
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Register returning (best_pose, all refined poses, scores)."""
+        self._check_inputs(rgb, depth, mask, target_name)
+        key = ("register", target_name, rgb.shape[:2], int(refine_itr))
+        if key not in self._register_cache:
+            self._register_cache[key] = self._register_program(
+                target_name, int(refine_itr)
+            )
+        best, poses, scores, ok = self._register_cache[key](
+            self._refiner_params, self._scorer_params,
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(mask), self._rot_grid,
+        )
+        if not bool(ok):
+            raise RuntimeError("[FoundationPose] translation guess failed")
+        return np.asarray(best), np.asarray(poses), np.asarray(scores)
+
+    def track(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        hyp_pose: np.ndarray,
+        target_name: str,
+        refine_itr: int = 1,
+    ) -> np.ndarray:
+        """Per-frame pose update (FoundationPose::Track, :230-265)."""
+        self._check_inputs(rgb, depth, None, target_name)
+        key = ("track", target_name, rgb.shape[:2], int(refine_itr))
+        if key not in self._track_cache:
+            self._track_cache[key] = self._track_program(target_name, int(refine_itr))
+        out = self._track_cache[key](
+            self._refiner_params,
+            jnp.asarray(rgb),
+            jnp.asarray(depth),
+            jnp.asarray(np.asarray(hyp_pose, dtype=np.float32)),
+        )
+        return np.asarray(out)
+
+    def convert_pose_mesh2bbox(self, pose: np.ndarray, target_name: str) -> np.ndarray:
+        """Pose frame change mesh -> oriented bbox (mesh_loader.hpp:75-81)."""
+        mesh = self._meshes[target_name]
+        return np.asarray(
+            transforms.convert_pose_mesh2bbox(
+                jnp.asarray(np.asarray(pose, np.float32)),
+                mesh.model_center,
+                mesh.orient_bounds,
+            )
+        )
+
+    def object_dimension(self, target_name: str) -> np.ndarray:
+        return self._assets[target_name].dimensions
+
+
+def create_foundationpose_model(
+    refiner_params: Any,
+    scorer_params: Any,
+    mesh_assets: list[MeshAsset],
+    intrinsic: np.ndarray,
+    max_input_image_h: int = 1080,
+    max_input_image_w: int = 1920,
+    **kwargs,
+) -> FoundationPose:
+    """Factory mirroring CreateFoundationPoseModel (foundationpose.cpp:448-458)."""
+    return FoundationPose(
+        refiner_params, scorer_params, mesh_assets, intrinsic,
+        max_input_image_h, max_input_image_w, **kwargs,
+    )

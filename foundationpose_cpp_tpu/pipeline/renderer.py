@@ -1,0 +1,139 @@
+"""Render-and-compare front end: the reference FoundationPoseRenderer as one
+pure function.
+
+Reference: detection_6d_foundationpose/src/foundationpose_render.cpp (859 LoC
+host orchestration + 522 LoC CUDA kernels + vendored nvdiffrast). What the
+reference spreads over two CUDA streams, ~15 kernel launches, a 252-iteration
+host warp loop and 4 stream syncs per call (RenderAndTransform, :814-857) is
+here a single traced function -- XLA schedules the render branch and the
+observed-crop branch concurrently inside one program, and nothing touches the
+host.
+
+Pipeline order matches NvdiffrastRender (:611-683) + RenderProcess (:685-729)
++ TransfProcess (:731-812) exactly; see ops/* for the per-kernel semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from foundationpose_cpp_tpu.config import FoundationPoseConfig
+from foundationpose_cpp_tpu.geometry import transforms
+from foundationpose_cpp_tpu.meshio.mesh_loader import MeshAsset
+from foundationpose_cpp_tpu.ops import pointcloud, warp
+from foundationpose_cpp_tpu.ops import rasterize as ras
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConstants:
+    """Device-resident mesh tensors, preprocessed once per mesh.
+
+    Mirrors FoundationPoseRenderer::LoadTexturedMesh (:381-509): vertices are
+    centered on the model center, the V texture coordinate is flipped, and the
+    texture is float [0,1]. Faces are padded to a multiple of `face_pad` with
+    a validity mask so every downstream shape is static.
+    """
+
+    vertices: jnp.ndarray  # (V, 3) centered
+    normals: jnp.ndarray  # (V, 3)
+    texcoords: jnp.ndarray  # (V, 2) v-flipped
+    faces: jnp.ndarray  # (Fp, 3) int32, padded
+    face_valid: jnp.ndarray  # (Fp,) bool
+    texture: jnp.ndarray  # (Th, Tw, 3) f32
+    diameter: float
+    model_center: jnp.ndarray  # (3,)
+    orient_bounds: jnp.ndarray  # (4, 4)
+
+    @staticmethod
+    def from_asset(asset: MeshAsset, face_pad: int = 128) -> "MeshConstants":
+        verts = asset.vertices - asset.model_center[None, :]
+        uv = np.stack(
+            [asset.texcoords[:, 0], 1.0 - asset.texcoords[:, 1]], axis=-1
+        )
+        f = asset.faces
+        pad = (-f.shape[0]) % face_pad
+        valid = np.ones((f.shape[0],), dtype=bool)
+        if pad:
+            f = np.concatenate([f, np.zeros((pad, 3), dtype=np.int32)], axis=0)
+            valid = np.concatenate([valid, np.zeros((pad,), dtype=bool)])
+        return MeshConstants(
+            vertices=jnp.asarray(verts, dtype=jnp.float32),
+            normals=jnp.asarray(asset.vertex_normals, dtype=jnp.float32),
+            texcoords=jnp.asarray(uv, dtype=jnp.float32),
+            faces=jnp.asarray(f, dtype=jnp.int32),
+            face_valid=jnp.asarray(valid),
+            texture=jnp.asarray(asset.texture, dtype=jnp.float32),
+            diameter=float(asset.diameter),
+            model_center=jnp.asarray(asset.model_center, dtype=jnp.float32),
+            orient_bounds=jnp.asarray(asset.orient_bounds, dtype=jnp.float32),
+        )
+
+
+def render_and_transform(
+    mesh: MeshConstants,
+    poses: jnp.ndarray,
+    rgb: jnp.ndarray,
+    xyz_map: jnp.ndarray,
+    K: jnp.ndarray,
+    crop_ratio: float,
+    cfg: FoundationPoseConfig,
+    rasterize_fn: Any = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Produce the two 6-channel model input crops for N poses.
+
+    Args:
+      poses: (N, 4, 4) object-in-camera hypotheses.
+      rgb: (H, W, 3) uint8 observed image.
+      xyz_map: (H, W, 3) f32 camera-frame points from the RAW depth
+        (UploadDataToDevice computes it before any filtering,
+        foundationpose.cpp:297-301).
+      crop_ratio: 1.2 refine / 1.1 score.
+      rasterize_fn: override for the rasterizer (Pallas kernel on TPU);
+        defaults to the pure-XLA ops.rasterize.rasterize.
+
+    Returns:
+      (render_input, transf_input), each (N, crop_h, crop_w, 6) f32.
+    """
+    ch, cw = cfg.crop_window_h, cfg.crop_window_w
+    h, w = rgb.shape[:2]
+    rasterizer = rasterize_fn if rasterize_fn is not None else ras.rasterize
+
+    tfs = transforms.compute_crop_window_tf(
+        poses, K, (ch, cw), crop_ratio, mesh.diameter
+    )
+    bbox2d = transforms.construct_bbox2d(tfs, ch, cw)
+
+    # ---- render branch (RenderProcess / NvdiffrastRender) ----
+    clip_mat = transforms.pose_clip_matrix(
+        poses, bbox2d, K, h, w, cfg.znear, cfg.zfar
+    )
+    clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)
+    rast = rasterizer(clip, mesh.faces, ch, cw, face_valid=mesh.face_valid)
+
+    pts_cam = transforms.transform_points(poses, mesh.vertices)  # (N, V, 3)
+    xyz_render = ras.interpolate_attributes(pts_cam, rast, mesh.faces)
+    uv = ras.interpolate_attributes(mesh.texcoords, rast, mesh.faces)
+    color = ras.texture_bilinear_wrap(mesh.texture, uv)
+    diffuse = transforms.diffuse_intensity(poses, mesh.normals)  # (N, V)
+    diffuse_map = ras.interpolate_attributes(diffuse[..., None], rast, mesh.faces)
+    color = ras.shade_color(color, diffuse_map, rast, cfg.w_ambient, cfg.w_diffuse)
+    color = ras.flip_vertical(color)
+    xyz_render = ras.flip_vertical(xyz_render)
+    xyz_render = pointcloud.threshold_and_downscale_pointcloud(
+        xyz_render, poses, mesh.diameter / 2.0, cfg.min_depth, cfg.max_depth
+    )
+    render_input = pointcloud.concat_channels(color, xyz_render)
+
+    # ---- observed branch (TransfProcess) ----
+    rgb_crop = warp.warp_crop_linear_u8(rgb, tfs, ch, cw)
+    xyz_crop = warp.warp_crop_nearest_f32(xyz_map, tfs, ch, cw)
+    xyz_crop = pointcloud.threshold_and_downscale_pointcloud(
+        xyz_crop, poses, mesh.diameter / 2.0, cfg.min_depth, cfg.max_depth
+    )
+    transf_input = pointcloud.concat_channels(rgb_crop, xyz_crop)
+
+    return render_input, transf_input

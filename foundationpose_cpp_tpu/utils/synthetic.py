@@ -1,0 +1,66 @@
+"""Synthetic RGB-D scene generation for tests and benchmarks.
+
+Renders a mesh at a known ground-truth pose into a full-frame RGB, metric
+depth, and mask using the framework's own rasterizer -- the stand-in for the
+gated mustard0 dataset (reference test_data/download.md) that keeps the test
+suite and benchmarks self-contained and deterministic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from foundationpose_cpp_tpu.config import FoundationPoseConfig
+from foundationpose_cpp_tpu.geometry import transforms
+from foundationpose_cpp_tpu.ops import rasterize as ras
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+
+
+def render_scene(
+    mesh: MeshConstants,
+    pose: np.ndarray,
+    K: np.ndarray,
+    h: int,
+    w: int,
+    cfg: FoundationPoseConfig = FoundationPoseConfig(),
+    background_depth: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render (rgb u8, depth f32, mask u8) of `mesh` at `pose` (full frame).
+
+    The full frame is treated as the crop window (bbox = whole image), so the
+    same clip-matrix + rasterizer machinery applies.
+    """
+    poses = jnp.asarray(pose[None].astype(np.float32))
+    Kj = jnp.asarray(K.astype(np.float32))
+    bbox2d = jnp.asarray([[0.0, 0.0, float(w), float(h)]], dtype=jnp.float32)
+    clip_mat = transforms.pose_clip_matrix(poses, bbox2d, Kj, h, w, cfg.znear, cfg.zfar)
+    clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)
+    rast = ras.rasterize(clip, mesh.faces, h, w, face_valid=mesh.face_valid)
+
+    pts_cam = transforms.transform_points(poses, mesh.vertices)
+    xyz = ras.interpolate_attributes(pts_cam, rast, mesh.faces)
+    uv = ras.interpolate_attributes(mesh.texcoords, rast, mesh.faces)
+    color = ras.texture_bilinear_wrap(mesh.texture, uv)
+    diffuse = transforms.diffuse_intensity(poses, mesh.normals)
+    dmap = ras.interpolate_attributes(diffuse[..., None], rast, mesh.faces)
+    color = ras.shade_color(color, dmap, rast, cfg.w_ambient, cfg.w_diffuse)
+
+    color = np.asarray(ras.flip_vertical(color))[0]
+    xyz = np.asarray(ras.flip_vertical(xyz))[0]
+    fg = np.asarray(ras.flip_vertical(rast[..., 3:4]))[0, ..., 0] > 0
+
+    rgb = (np.clip(color, 0, 1) * 255).astype(np.uint8)
+    depth = np.where(fg, xyz[..., 2], background_depth).astype(np.float32)
+    mask = fg.astype(np.uint8) * 255
+    return rgb, depth, mask
+
+
+def default_pose(tz: float = 0.6) -> np.ndarray:
+    """A mildly rotated pose in front of the camera."""
+    from scipy.spatial.transform import Rotation
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = Rotation.from_euler("xyz", [25, -15, 40], degrees=True).as_matrix()
+    pose[:3, 3] = [0.02, -0.01, tz]
+    return pose
