@@ -1,0 +1,131 @@
+"""Benchmark: Register/Track throughput on one TPU chip vs the reference GPU.
+
+Methodology mirrors the reference speed tests (simple_tests gtest
+speed_register / speed_track: 50x Register, 5000x Track on one frame,
+README.md:39-49 numbers) with one structural difference: iterations run
+inside a lax.scan in a single compiled program. The axon TPU tunnel used for
+development adds ~26 ms of host round-trip per dispatch and its
+block_until_ready is a no-op, so per-call host timing measures the tunnel,
+not the chip; the in-scan loop measures what the hardware actually does,
+which is also how this framework is meant to be deployed (one program, one
+H2D in, one D2H out). An optimization_barrier threads the carried pose into
+each iteration's inputs so XLA cannot hoist the loop body.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baselines (BASELINE.md): Register 2.8 fps / Track 220 fps on RTX 4060.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_cpp_tpu import FoundationPoseConfig, networks
+    from foundationpose_cpp_tpu.geometry import icosphere
+    from foundationpose_cpp_tpu.meshio import procedural
+    from foundationpose_cpp_tpu.ops.rasterize_pallas import rasterize_tpu
+    from foundationpose_cpp_tpu.pipeline.foundationpose import (
+        register_step,
+        track_step,
+    )
+    from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+    from foundationpose_cpp_tpu.utils import synthetic
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = FoundationPoseConfig()
+    net_cfg = networks.NetConfig()
+    h, w = 480, 640
+    K = np.array([[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]], np.float32)
+    Kj = jnp.asarray(K)
+
+    # mustard stand-in: ~6k-face textured mesh
+    sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=48, n_lon=64)
+    mesh = MeshConstants.from_asset(sphere)
+    gt = synthetic.default_pose(tz=0.6)
+    rgb, depth, mask = synthetic.render_scene(mesh, gt, K, h, w, cfg)
+    rgb, depth, mask = jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(mask)
+
+    params_r = networks.init_refiner(0, net_cfg)
+    params_s = networks.init_scorer(1, net_cfg)
+    rot_grid = jnp.asarray(icosphere.make_rotation_grid())
+    raster = rasterize_tpu if on_tpu else None
+
+    # ---- Track: sequential scan, pose feeds forward (reference: 5000 reps)
+    track_iters = 256
+
+    @jax.jit
+    def track_loop(params_r, rgb, depth, pose0):
+        def body(pose, _):
+            pose, rgb_b = jax.lax.optimization_barrier((pose, rgb))
+            poses = track_step(
+                mesh, params_r, rgb_b, depth, pose[None], Kj, 1, cfg, net_cfg,
+                raster,
+            )
+            return poses[0], None
+
+        pose, _ = jax.lax.scan(body, pose0, None, length=track_iters)
+        return pose
+
+    pose0 = jnp.asarray(gt)
+    out = track_loop(params_r, rgb, depth, pose0)
+    _ = np.asarray(out)  # compile + settle
+    t0 = time.perf_counter()
+    out = track_loop(params_r, rgb, depth, pose0)
+    _ = np.asarray(out)
+    track_dt = time.perf_counter() - t0
+    track_fps = track_iters / track_dt
+
+    # ---- Register: repeated scan (reference: 50 reps of the same frame)
+    reg_iters = 8
+
+    @jax.jit
+    def register_loop(params_r, params_s, rgb, depth, mask, rot_grid):
+        def body(carry, _):
+            rgb_b, _ = jax.lax.optimization_barrier((rgb, carry))
+            best, _, scores, ok = register_step(
+                mesh, params_r, params_s, rgb_b, depth, mask, rot_grid, Kj,
+                1, cfg, net_cfg, raster,
+            )
+            return best, None
+
+        best, _ = jax.lax.scan(
+            body, jnp.eye(4, dtype=jnp.float32), None, length=reg_iters
+        )
+        return best
+
+    out = register_loop(params_r, params_s, rgb, depth, mask, rot_grid)
+    _ = np.asarray(out)
+    t0 = time.perf_counter()
+    out = register_loop(params_r, params_s, rgb, depth, mask, rot_grid)
+    _ = np.asarray(out)
+    reg_dt = time.perf_counter() - t0
+    register_fps = reg_iters / reg_dt
+
+    result = {
+        "metric": "register_fps",
+        "value": round(register_fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(register_fps / 2.8, 3),
+        "details": {
+            "track_fps": round(track_fps, 2),
+            "track_vs_baseline": round(track_fps / 220.0, 3),
+            "platform": jax.devices()[0].platform,
+            "mesh_faces": int(sphere.num_faces),
+            "image": [h, w],
+            "hypotheses": 252,
+            "track_iters": track_iters,
+            "register_iters": reg_iters,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,30 @@ def _flat_basis(h: int, w: int) -> jnp.ndarray:
     )
 
 
+def winner_edge_values(
+    coeffs_flat: jnp.ndarray, face_idx: jnp.ndarray, basis: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Evaluate the 3 edge functions of each pixel's winning face.
+
+    coeffs_flat: (N, F, 15); face_idx: (N, hw); basis: (3, hw).
+    Planar gathers (one per coefficient) -- see interpolate_attributes for
+    why gathering (.., 15)-minor blocks is catastrophic on TPU.
+    """
+    n, f, _ = coeffs_flat.shape
+    base = (jnp.arange(n, dtype=jnp.int32) * f)[:, None]
+    gidx = face_idx + base  # (N, hw)
+
+    def edge(q):
+        acc = None
+        for k in range(3):
+            plane = coeffs_flat[:, :, 3 * q + k].reshape(-1)
+            term = jnp.take(plane, gidx, axis=0) * basis[k][None, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    return edge(0), edge(1), edge(2)
+
+
 def _depth_pass(
     coeffs: jnp.ndarray,
     valid: jnp.ndarray,
@@ -215,11 +239,7 @@ def rasterize(
     # final pass: gather winning-face coefficients, emit (b0, b1, zw, id)
     fg = best_id > 0
     face_idx = jnp.maximum(best_id - 1, 0)  # (N, hw)
-    win = jnp.take_along_axis(
-        coeffs.reshape(n, f_pad, 15), face_idx[..., None], axis=1
-    ).reshape(n, hw, 5, 3)
-    vals = _einsum("npqk,kp->npq", win, basis)  # (N, hw, 5)
-    a0, a1, a2 = vals[..., 0], vals[..., 1], vals[..., 2]
+    a0, a1, a2 = winner_edge_values(coeffs.reshape(n, f_pad, 15), face_idx, basis)
     iw = 1.0 / (a0 + a1 + a2)
     b0 = jnp.clip(a0 * iw, 0.0, 1.0)
     b1 = jnp.clip(a1 * iw, 0.0, 1.0)
@@ -241,27 +261,43 @@ def interpolate_attributes(
 
     Returns:
       (N, H, W, C); zero where rast.w == 0 (background).
+
+    Implementation note: every gather here is PLANAR -- a (X,) source plane
+    fetched with (N,H,W) indices, so each temporary's minor dim is the
+    128-friendly image width. Gathering from (F,3)/(V,C)-shaped sources
+    produces channel-minor temporaries that TPU tiling pads 3 -> 128 lanes
+    (measured: a 19.8 GB allocation at 252x160x160), and batched
+    take_along_axis additionally triggers a sort-based gather rewrite.
     """
     n, h, w, _ = rast.shape
     tri_id = rast[..., 3].astype(jnp.int32) - 1  # (N,H,W), -1 = background
     fg = tri_id >= 0
     face_idx = jnp.maximum(tri_id, 0)
-    vidx = jnp.take(faces, face_idx, axis=0)  # (N,H,W,3)
 
-    if attr.ndim == 2:
-        a = jnp.take(attr, vidx, axis=0)  # (N,H,W,3,C)
-    else:
-        a = jnp.take_along_axis(
-            attr[:, None, None, :, :],
-            vidx[..., None].astype(jnp.int32),
-            axis=3,
-        )  # (N,H,W,3,C)
+    b = (
+        rast[..., 0],
+        rast[..., 1],
+        1.0 - rast[..., 0] - rast[..., 1],
+    )
 
-    b0 = rast[..., 0:1]
-    b1 = rast[..., 1:2]
-    b2 = 1.0 - rast[..., 0:1] - rast[..., 1:2]
-    out = b0 * a[..., 0, :] + b1 * a[..., 1, :] + b2 * a[..., 2, :]
-    return jnp.where(fg[..., None], out, 0.0)
+    instanced = attr.ndim == 3
+    c = attr.shape[-1]
+    v = attr.shape[-2]
+    if instanced:
+        base = (jnp.arange(n, dtype=jnp.int32) * v)[:, None, None]
+    planes = [attr[..., k].reshape(-1) for k in range(c)]
+
+    chans = []
+    for ci in range(c):
+        acc = None
+        for k in range(3):
+            vidx_k = jnp.take(faces[:, k], face_idx, axis=0)  # (N,H,W)
+            if instanced:
+                vidx_k = vidx_k + base
+            term = b[k] * jnp.take(planes[ci], vidx_k, axis=0)
+            acc = term if acc is None else acc + term
+        chans.append(jnp.where(fg, acc, 0.0))
+    return jnp.stack(chans, axis=-1)
 
 
 def texture_bilinear_wrap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -292,23 +328,25 @@ def texture_bilinear_wrap(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     v0 = wrap(iv0, th)
     v1 = wrap(iv0 + 1, th)
 
-    flat = tex.reshape(th * tw, c)
-
-    def fetch(vi, ui):
-        return jnp.take(flat, vi * tw + ui, axis=0)
-
-    t00 = fetch(v0, u0)
-    t10 = fetch(v0, u1)
-    t01 = fetch(v1, u0)
-    t11 = fetch(v1, u1)
-    fuc = fu[..., None]
-    fvc = fv[..., None]
-    return (
-        t00 * (1 - fuc) * (1 - fvc)
-        + t10 * fuc * (1 - fvc)
-        + t01 * (1 - fuc) * fvc
-        + t11 * fuc * fvc
-    )
+    # planar per-channel fetches (see interpolate_attributes layout note)
+    w00 = (1 - fu) * (1 - fv)
+    w10 = fu * (1 - fv)
+    w01 = (1 - fu) * fv
+    w11 = fu * fv
+    i00 = v0 * tw + u0
+    i10 = v0 * tw + u1
+    i01 = v1 * tw + u0
+    i11 = v1 * tw + u1
+    chans = []
+    for ci in range(c):
+        plane = tex[..., ci].reshape(th * tw)
+        chans.append(
+            jnp.take(plane, i00, axis=0) * w00
+            + jnp.take(plane, i10, axis=0) * w10
+            + jnp.take(plane, i01, axis=0) * w01
+            + jnp.take(plane, i11, axis=0) * w11
+        )
+    return jnp.stack(chans, axis=-1)
 
 
 def shade_color(

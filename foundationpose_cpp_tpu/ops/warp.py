@@ -10,6 +10,13 @@ Matches OpenCV/cvcuda warpPerspective semantics: for each destination pixel
 half-pixel offset -- with INTERP_LINEAR for RGB (computed on u8 and rounded,
 as cvcuda does, before the 1/255 ConvertTo) and INTERP_NEAREST for xyz, and
 BORDER_CONSTANT 0 outside.
+
+Layout note (learned the hard way): all gathers here are PLANAR -- one
+(H*W,) source plane per channel, or the three RGB bytes packed into one u32
+plane -- producing (N, ch, cw) intermediates whose minor dim is the 128-wide
+crop axis. Gathering (H*W, 3)-shaped sources lets XLA materialize
+channel-minor temporaries that TPU tiling pads 3 -> 128 lanes (a measured
+19.8 GB allocation at production sizes).
 """
 
 from __future__ import annotations
@@ -39,22 +46,19 @@ def _source_coords(tfs: jnp.ndarray, crop_h: int, crop_w: int) -> tuple[jnp.ndar
     return sx, sy
 
 
-def _gather_pixels(img_flat: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, w: int) -> jnp.ndarray:
-    """img_flat: (H*W, C); ix/iy: (...,) int32 -> (..., C)."""
-    idx = iy * w + ix
-    return jnp.take(img_flat, idx, axis=0)
-
-
 def warp_crop_linear_u8(
     rgb: jnp.ndarray, tfs: jnp.ndarray, crop_h: int, crop_w: int
 ) -> jnp.ndarray:
     """Bilinear warp of a (H, W, 3) u8 image into (N, crop_h, crop_w, 3) f32 in [0,1].
 
-    Interpolation happens in float but the result is rounded to the nearest
-    integer before scaling by 1/255, reproducing cvcuda's u8 warp output
-    followed by ConvertTo (foundationpose_render.cpp:762-797).
+    The three bytes are packed into one u32 plane so each bilinear corner is
+    a single gather (4 total instead of 12). Interpolation happens in float
+    but the result is rounded to the nearest integer before scaling by 1/255,
+    reproducing cvcuda's u8 warp output followed by ConvertTo
+    (foundationpose_render.cpp:762-797).
     """
     h, w, c = rgb.shape
+    assert c == 3
     sx, sy = _source_coords(tfs, crop_h, crop_w)  # (N, ch, cw)
 
     x0 = jnp.floor(sx)
@@ -62,29 +66,37 @@ def warp_crop_linear_u8(
     fx = sx - x0
     fy = sy - y0
 
-    img = rgb.astype(jnp.float32).reshape(h * w, c)
+    r32 = rgb.astype(jnp.uint32)
+    packed = (r32[..., 0] | (r32[..., 1] << 8) | (r32[..., 2] << 16)).reshape(h * w)
 
     def corner(xc, yc):
         inb = (xc >= 0) & (xc < w) & (yc >= 0) & (yc < h)
         xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-        vals = _gather_pixels(img, xi, yi, w)
-        return jnp.where(inb[..., None], vals, 0.0)
+        vals = jnp.take(packed, yi * w + xi, axis=0)  # (N, ch, cw) u32
+        vals = jnp.where(inb, vals, jnp.uint32(0))
+        return (
+            (vals & 0xFF).astype(jnp.float32),
+            ((vals >> 8) & 0xFF).astype(jnp.float32),
+            ((vals >> 16) & 0xFF).astype(jnp.float32),
+        )
 
     v00 = corner(x0, y0)
     v10 = corner(x0 + 1, y0)
     v01 = corner(x0, y0 + 1)
     v11 = corner(x0 + 1, y0 + 1)
 
-    fxc = fx[..., None]
-    fyc = fy[..., None]
-    out = (
-        v00 * (1 - fxc) * (1 - fyc)
-        + v10 * fxc * (1 - fyc)
-        + v01 * (1 - fxc) * fyc
-        + v11 * fxc * fyc
-    )
-    return jnp.round(out) * (1.0 / 255.0)
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+
+    planes = [
+        jnp.round(v00[k] * w00 + v10[k] * w10 + v01[k] * w01 + v11[k] * w11)
+        * (1.0 / 255.0)
+        for k in range(3)
+    ]
+    return jnp.stack(planes, axis=-1)
 
 
 def warp_crop_nearest_f32(
@@ -98,5 +110,9 @@ def warp_crop_nearest_f32(
     inb = (xr >= 0) & (xr < w) & (yr >= 0) & (yr < h)
     xi = jnp.clip(xr, 0, w - 1).astype(jnp.int32)
     yi = jnp.clip(yr, 0, h - 1).astype(jnp.int32)
-    vals = _gather_pixels(img.reshape(h * w, c), xi, yi, w)
-    return jnp.where(inb[..., None], vals, 0.0)
+    idx = yi * w + xi
+    planes = [
+        jnp.where(inb, jnp.take(img[..., k].reshape(h * w), idx, axis=0), 0.0)
+        for k in range(c)
+    ]
+    return jnp.stack(planes, axis=-1)

@@ -1,0 +1,114 @@
+"""Multi-chip scale-out: shard the hypothesis axis over a TPU device mesh.
+
+The reference is a single-process single-GPU pipeline with NO distributed
+backend (SURVEY.md SS2.9) -- its only parallel axis is the 252-hypothesis
+batch pushed through every kernel and both engines. That axis is exactly what
+shards across chips: every per-hypothesis stage (crop TFs, rasterization,
+crops, refiner, scorer) is embarrassingly parallel over hypotheses, the
+per-image stages (depth filters, translation guess) are cheap and replicated,
+and the only cross-chip communication is the final argmax over 252 scores --
+one all-gather of a few hundred floats over ICI, inserted automatically by
+XLA's SPMD partitioner from the sharding annotations (pjit recipe: pick a
+mesh, annotate, let XLA place collectives).
+
+252 is not divisible by typical chip counts, so the grid is padded up to a
+multiple of the mesh size and the pad rows are masked out of the argmax with
+-inf scores.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from foundationpose_cpp_tpu.config import FoundationPoseConfig
+from foundationpose_cpp_tpu.models import networks
+from foundationpose_cpp_tpu.pipeline.foundationpose import register_step, track_step
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+
+HYP_AXIS = "hyp"
+
+
+def make_hyp_mesh(devices: list[Any] | None = None) -> Mesh:
+    """1-D mesh over all (or the given) devices, named 'hyp'."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (HYP_AXIS,))
+
+
+def pad_grid(rot_grid: np.ndarray, n_devices: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad (M,4,4) grid to a multiple of n_devices; returns (grid, valid)."""
+    m = rot_grid.shape[0]
+    pad = (-m) % n_devices
+    valid = np.ones((m + pad,), dtype=bool)
+    if pad:
+        filler = np.tile(np.eye(4, dtype=rot_grid.dtype), (pad, 1, 1))
+        rot_grid = np.concatenate([rot_grid, filler], axis=0)
+        valid[m:] = False
+    return rot_grid, valid
+
+
+def make_sharded_register(
+    mesh_consts: MeshConstants,
+    device_mesh: Mesh,
+    K: jnp.ndarray,
+    refine_itr: int,
+    cfg: FoundationPoseConfig,
+    net_cfg: networks.NetConfig,
+    rasterize_fn: Any = None,
+):
+    """Build a pjit'd Register step sharded over the hypothesis axis.
+
+    Returns fn(params_r, params_s, rgb, depth, mask, rot_grid_padded,
+    hyp_valid) -> (best_pose, poses, scores, ok). rot_grid_padded / hyp_valid
+    must come from pad_grid(..., mesh size).
+    """
+    hyp = NamedSharding(device_mesh, P(HYP_AXIS))
+    repl = NamedSharding(device_mesh, P())
+
+    def fn(params_r, params_s, rgb, depth, mask, rot_grid, hyp_valid):
+        rot_grid = jax.lax.with_sharding_constraint(rot_grid, hyp)
+        hyp_valid = jax.lax.with_sharding_constraint(hyp_valid, hyp)
+        best, poses, scores, ok = register_step(
+            mesh_consts, params_r, params_s, rgb, depth, mask, rot_grid,
+            K, refine_itr, cfg, net_cfg, rasterize_fn, hyp_valid=hyp_valid,
+        )
+        return best, poses, scores, ok
+
+    return jax.jit(
+        fn,
+        in_shardings=(repl, repl, repl, repl, repl, hyp, hyp),
+        out_shardings=(repl, hyp, hyp, repl),
+    )
+
+
+def make_sharded_track_batch(
+    mesh_consts: MeshConstants,
+    device_mesh: Mesh,
+    K: jnp.ndarray,
+    refine_itr: int,
+    cfg: FoundationPoseConfig,
+    net_cfg: networks.NetConfig,
+    rasterize_fn: Any = None,
+):
+    """pjit'd multi-instance Track sharded over the instance axis.
+
+    fn(params_r, rgb, depth, poses (N,4,4)) -> (N,4,4); N must be a multiple
+    of the mesh size.
+    """
+    inst = NamedSharding(device_mesh, P(HYP_AXIS))
+    repl = NamedSharding(device_mesh, P())
+
+    def fn(params_r, rgb, depth, poses):
+        poses = jax.lax.with_sharding_constraint(poses, inst)
+        return track_step(
+            mesh_consts, params_r, rgb, depth, poses, K, refine_itr, cfg,
+            net_cfg, rasterize_fn,
+        )
+
+    return jax.jit(
+        fn, in_shardings=(repl, repl, repl, inst), out_shardings=inst
+    )

@@ -42,6 +42,114 @@ from foundationpose_cpp_tpu.ops import depth as depth_ops
 from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants, render_and_transform
 
 
+def refine_loop(
+    mesh: MeshConstants,
+    params_r: Any,
+    poses: jnp.ndarray,
+    rgb: jnp.ndarray,
+    xyz_map: jnp.ndarray,
+    K: jnp.ndarray,
+    refine_itr: int,
+    cfg: FoundationPoseConfig,
+    net_cfg: networks.NetConfig,
+    rasterize_fn: Any = None,
+) -> jnp.ndarray:
+    """scan over refine iterations: render -> refiner -> compose delta.
+
+    The reference runs this loop on the host with a SyncInfer + Eigen
+    post-process per iteration (foundationpose.cpp:200-213); here the whole
+    loop is a lax.scan inside the compiled program.
+    """
+
+    def body(poses, _):
+        render_in, transf_in = render_and_transform(
+            mesh, poses, rgb, xyz_map, K, cfg.refine_crop_ratio, cfg, rasterize_fn
+        )
+        out = networks.apply_refiner(params_r, render_in, transf_in, net_cfg)
+        new_poses = transforms.apply_refine_delta(
+            poses, out["trans"], out["rot"], mesh.diameter, cfg.rot_normalizer
+        )
+        return new_poses, None
+
+    poses, _ = jax.lax.scan(body, poses, None, length=refine_itr)
+    return poses
+
+
+def register_step(
+    mesh: MeshConstants,
+    params_r: Any,
+    params_s: Any,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    rot_grid: jnp.ndarray,
+    K: jnp.ndarray,
+    refine_itr: int,
+    cfg: FoundationPoseConfig,
+    net_cfg: networks.NetConfig,
+    rasterize_fn: Any = None,
+    hyp_valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The full Register computation as one traceable function.
+
+    hyp_valid masks padded grid rows (multi-chip sharding pads 252 up to a
+    multiple of the device count); invalid rows score -inf before the argmax.
+
+    Returns (best_pose, refined_poses, scores, ok).
+    """
+    df = cfg.depth_filter
+    eroded = depth_ops.erode_depth(
+        depth, df.erode_radius, df.erode_depth_diff_thres,
+        df.erode_ratio_thres, df.zfar,
+    )
+    filtered = depth_ops.bilateral_filter_depth(
+        eroded, df.bilateral_radius, df.bilateral_sigma_d,
+        df.bilateral_sigma_r, df.zfar, df.bilateral_mean_band,
+    )
+    center, ok = depth_ops.guess_translation(filtered, mask, K, cfg.min_depth)
+    poses = rot_grid.at[:, :3, 3].set(center[None, :])
+
+    xyz_map = depth_ops.depth_to_xyz(depth, K, cfg.min_depth)
+
+    poses = refine_loop(
+        mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
+        rasterize_fn,
+    )
+
+    render_in, transf_in = render_and_transform(
+        mesh, poses, rgb, xyz_map, K, cfg.score_crop_ratio, cfg, rasterize_fn
+    )
+    out = networks.apply_scorer(params_s, render_in, transf_in, net_cfg)
+    scores = out["scores"][:, 0]
+    if hyp_valid is not None:
+        scores = jnp.where(hyp_valid, scores, -jnp.inf)
+    best = jnp.argmax(scores)  # getMaxScoreIndex (thrust) equivalent
+    return poses[best], poses, scores, ok
+
+
+def track_step(
+    mesh: MeshConstants,
+    params_r: Any,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    poses: jnp.ndarray,
+    K: jnp.ndarray,
+    refine_itr: int,
+    cfg: FoundationPoseConfig,
+    net_cfg: networks.NetConfig,
+    rasterize_fn: Any = None,
+) -> jnp.ndarray:
+    """Track computation for a (N, 4, 4) batch of instances of one mesh.
+
+    N=1 reproduces the reference Track; N>1 is the multi-object tracking
+    batch (instances share the refiner weights and the mesh)."""
+    xyz_map = depth_ops.depth_to_xyz(depth, K, cfg.min_depth)
+    return refine_loop(
+        mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
+        rasterize_fn,
+    )
+
+
 class FoundationPose:
     """Multi-mesh 6-DoF pose estimator (CreateFoundationPoseModel parity)."""
 
@@ -110,72 +218,27 @@ class FoundationPose:
     # ------------------------------------------------------------------
     # traced program bodies
 
-    def _refine_loop(self, mesh, params_r, poses, rgb, xyz_map, refine_itr):
-        """scan over refine iterations: render -> refiner -> compose delta."""
-        cfg = self._cfg
-
-        def body(poses, _):
-            render_in, transf_in = render_and_transform(
-                mesh, poses, rgb, xyz_map, self._K, cfg.refine_crop_ratio, cfg,
-                self._rasterize_fn,
-            )
-            out = networks.apply_refiner(params_r, render_in, transf_in, self._net_cfg)
-            new_poses = transforms.apply_refine_delta(
-                poses, out["trans"], out["rot"], mesh.diameter, cfg.rot_normalizer
-            )
-            return new_poses, None
-
-        poses, _ = jax.lax.scan(body, poses, None, length=refine_itr)
-        return poses
-
     def _register_program(self, mesh_name: str, refine_itr: int):
         mesh = self._meshes[mesh_name]
-        cfg = self._cfg
 
-        @functools.partial(jax.jit, static_argnums=())
+        @jax.jit
         def program(params_r, params_s, rgb, depth, mask, rot_grid):
-            # sampler (FoundationPoseSampler::GetHypPoses, on-device)
-            df = cfg.depth_filter
-            eroded = depth_ops.erode_depth(
-                depth, df.erode_radius, df.erode_depth_diff_thres,
-                df.erode_ratio_thres, df.zfar,
-            )
-            filtered = depth_ops.bilateral_filter_depth(
-                eroded, df.bilateral_radius, df.bilateral_sigma_d,
-                df.bilateral_sigma_r, df.zfar, df.bilateral_mean_band,
-            )
-            center, ok = depth_ops.guess_translation(
-                filtered, mask, self._K, cfg.min_depth
-            )
-            poses = rot_grid.at[:, :3, 3].set(center[None, :])
-
-            xyz_map = depth_ops.depth_to_xyz(depth, self._K, cfg.min_depth)
-
-            poses = self._refine_loop(
-                mesh, params_r, poses, rgb, xyz_map, refine_itr
-            )
-
-            render_in, transf_in = render_and_transform(
-                mesh, poses, rgb, xyz_map, self._K, cfg.score_crop_ratio, cfg,
+            return register_step(
+                mesh, params_r, params_s, rgb, depth, mask, rot_grid,
+                self._K, refine_itr, self._cfg, self._net_cfg,
                 self._rasterize_fn,
             )
-            out = networks.apply_scorer(params_s, render_in, transf_in, self._net_cfg)
-            scores = out["scores"][:, 0]
-            best = jnp.argmax(scores)  # getMaxScoreIndex (thrust) equivalent
-            return poses[best], poses, scores, ok
 
         return program
 
     def _track_program(self, mesh_name: str, refine_itr: int):
         mesh = self._meshes[mesh_name]
-        cfg = self._cfg
 
         @jax.jit
         def program(params_r, rgb, depth, pose):
-            xyz_map = depth_ops.depth_to_xyz(depth, self._K, cfg.min_depth)
-            poses = pose[None, :, :]
-            poses = self._refine_loop(
-                mesh, params_r, poses, rgb, xyz_map, refine_itr
+            poses = track_step(
+                mesh, params_r, rgb, depth, pose[None, :, :], self._K,
+                refine_itr, self._cfg, self._net_cfg, self._rasterize_fn,
             )
             return poses[0]
 
@@ -256,6 +319,41 @@ class FoundationPose:
             jnp.asarray(rgb),
             jnp.asarray(depth),
             jnp.asarray(np.asarray(hyp_pose, dtype=np.float32)),
+        )
+        return np.asarray(out)
+
+    def track_batch(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        hyp_poses: np.ndarray,
+        target_name: str,
+        refine_itr: int = 1,
+    ) -> np.ndarray:
+        """Track a batch of instances of one mesh in the same frame.
+
+        Extension over the reference (which tracks one hypothesis per call):
+        the (N, 4, 4) instance batch rides the same leading axis the
+        252-hypothesis Register uses, so N instances cost one program.
+        """
+        self._check_inputs(rgb, depth, None, target_name)
+        hyp_poses = np.asarray(hyp_poses, dtype=np.float32)
+        n = hyp_poses.shape[0]
+        key = ("track_batch", target_name, rgb.shape[:2], int(refine_itr), n)
+        if key not in self._track_cache:
+            mesh = self._meshes[target_name]
+
+            @jax.jit
+            def program(params_r, rgb, depth, poses):
+                return track_step(
+                    mesh, params_r, rgb, depth, poses, self._K,
+                    int(refine_itr), self._cfg, self._net_cfg, self._rasterize_fn,
+                )
+
+            self._track_cache[key] = program
+        out = self._track_cache[key](
+            self._refiner_params, jnp.asarray(rgb), jnp.asarray(depth),
+            jnp.asarray(hyp_poses),
         )
         return np.asarray(out)
 

@@ -114,12 +114,25 @@ def render_and_transform(
     clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)
     rast = rasterizer(clip, mesh.faces, ch, cw, face_valid=mesh.face_valid)
 
+    # pack all per-vertex attributes -- camera-frame xyz (3), diffuse (1),
+    # texcoords (2) -- into ONE instanced array so the per-pixel barycentric
+    # stage costs a single gather instead of three
     pts_cam = transforms.transform_points(poses, mesh.vertices)  # (N, V, 3)
-    xyz_render = ras.interpolate_attributes(pts_cam, rast, mesh.faces)
-    uv = ras.interpolate_attributes(mesh.texcoords, rast, mesh.faces)
-    color = ras.texture_bilinear_wrap(mesh.texture, uv)
     diffuse = transforms.diffuse_intensity(poses, mesh.normals)  # (N, V)
-    diffuse_map = ras.interpolate_attributes(diffuse[..., None], rast, mesh.faces)
+    n = poses.shape[0]
+    packed = jnp.concatenate(
+        [
+            pts_cam,
+            diffuse[..., None],
+            jnp.broadcast_to(mesh.texcoords[None], (n, *mesh.texcoords.shape)),
+        ],
+        axis=-1,
+    )  # (N, V, 6)
+    interp = ras.interpolate_attributes(packed, rast, mesh.faces)
+    xyz_render = interp[..., 0:3]
+    diffuse_map = interp[..., 3:4]
+    uv = interp[..., 4:6]
+    color = ras.texture_bilinear_wrap(mesh.texture, uv)
     color = ras.shade_color(color, diffuse_map, rast, cfg.w_ambient, cfg.w_diffuse)
     color = ras.flip_vertical(color)
     xyz_render = ras.flip_vertical(xyz_render)

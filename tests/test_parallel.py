@@ -1,0 +1,106 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh.
+
+Asserts the sharded Register/Track programs compile, execute, and agree
+numerically with the single-device path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from foundationpose_cpp_tpu import FoundationPoseConfig, networks
+from foundationpose_cpp_tpu.geometry import icosphere
+from foundationpose_cpp_tpu.meshio import procedural
+from foundationpose_cpp_tpu.parallel import sharding
+from foundationpose_cpp_tpu.pipeline.foundationpose import register_step, track_step
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+from foundationpose_cpp_tpu.utils import synthetic
+
+NET_CFG = networks.NetConfig(
+    stem_channels=(8, 16, 32), trunk_channels=64,
+    num_transformer_blocks=1, num_heads=4, crop_hw=32,
+)
+CFG = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
+K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=np.float32)
+H, W = 120, 160
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cube = procedural.textured_cube(size=0.1)
+    mesh = MeshConstants.from_asset(cube)
+    pose = synthetic.default_pose(tz=0.5)
+    rgb, depth, mask = synthetic.render_scene(mesh, pose, K, H, W, CFG)
+    params_r = networks.init_refiner(0, NET_CFG)
+    params_s = networks.init_scorer(1, NET_CFG)
+    return mesh, rgb, depth, mask, params_r, params_s
+
+
+def test_eight_virtual_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_grid():
+    grid = icosphere.make_rotation_grid()
+    padded, valid = sharding.pad_grid(grid, 8)
+    assert padded.shape[0] == 256 and valid.sum() == 252
+    padded1, valid1 = sharding.pad_grid(grid, 4)
+    assert padded1.shape[0] == 252 and valid1.all()
+
+
+def test_sharded_register_matches_single_device(setup):
+    mesh, rgb, depth, mask, params_r, params_s = setup
+    grid = icosphere.make_rotation_grid()
+    dev_mesh = sharding.make_hyp_mesh()
+    padded, valid = sharding.pad_grid(grid, len(jax.devices()))
+
+    fn = sharding.make_sharded_register(
+        mesh, dev_mesh, jnp.asarray(K), 1, CFG, NET_CFG
+    )
+    best_s, poses_s, scores_s, ok_s = fn(
+        params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
+        jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid),
+    )
+    assert bool(ok_s)
+
+    # single-device reference on the same padded grid
+    best_1, poses_1, scores_1, ok_1 = jax.jit(
+        lambda pr, ps, a, b, c, g, v: register_step(
+            mesh, pr, ps, a, b, c, g, jnp.asarray(K), 1, CFG, NET_CFG,
+            hyp_valid=v,
+        )
+    )(params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
+      jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid))
+
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_1),
+                               rtol=5e-2, atol=5e-3)
+    # padded rows masked out of the argmax
+    assert not np.isfinite(np.asarray(scores_s)[252:]).any()
+    np.testing.assert_allclose(np.asarray(best_s), np.asarray(best_1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_track_batch_matches_single_device(setup):
+    mesh, rgb, depth, _, params_r, _ = setup
+    dev_mesh = sharding.make_hyp_mesh()
+    n = 16
+    rng = np.random.default_rng(0)
+    poses = np.tile(synthetic.default_pose(0.5)[None], (n, 1, 1))
+    poses[:, :3, 3] += rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+
+    fn = sharding.make_sharded_track_batch(
+        mesh, dev_mesh, jnp.asarray(K), 1, CFG, NET_CFG
+    )
+    out_s = np.asarray(fn(params_r, jnp.asarray(rgb), jnp.asarray(depth),
+                          jnp.asarray(poses)))
+
+    out_1 = np.asarray(jax.jit(
+        lambda pr, a, b, p: track_step(
+            mesh, pr, a, b, p, jnp.asarray(K), 1, CFG, NET_CFG
+        )
+    )(params_r, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses)))
+
+    # bf16 conv reductions associate differently under SPMD partitioning;
+    # the refine deltas may differ by O(1e-3) in translation
+    np.testing.assert_allclose(out_s, out_1, rtol=1e-2, atol=2e-3)
