@@ -1,0 +1,580 @@
+"""Fused render megakernel: rasterize + interpolate + shade in one pass.
+
+This is the production render branch. The reference runs ~10 sequential CUDA
+kernels over global memory per render (rasterize -> 3x interpolate -> texture
+-> refine_color -> clamp -> flip -> threshold -> concat,
+foundationpose_render.cpp:611-729). A literal translation is hopeless on TPU
+because every stage after rasterization is a per-pixel GATHER, and XLA:TPU
+executes random gathers at ~23 M fetches/s (measured) -- the unfused pipeline
+spends seconds per 252-view render on index traffic alone.
+
+The fused design eliminates every per-pixel gather and every runtime sort:
+
+- mesh tables are FACE-EXPANDED offline (face_verts/face_normals/face_colors,
+  (F,3,*)) and the faces are ordered by the MORTON CODE of their centroid at
+  build time: the face->vertex indirection disappears, and object-space
+  locality guarantees screen-space locality under any pose, so a contiguous
+  chunk of faces lands in a compact screen region for every view. (Runtime
+  spatial sorting is off the table: XLA:TPU variadic sort compile time
+  explodes with operand count -- a 34-operand lax.sort never finished
+  compiling.)
+- texture is sampled at the three corner UVs offline ("vertex-sampled
+  texture"); the kernel interpolates corner colors barycentrically. For
+  meshes whose faces project to a few pixels (the normal case for scanned
+  objects) this matches per-pixel texturing to within the texel/face LOD;
+  pipelines that need texel-exact rendering use the unfused path
+  (ops.rasterize + texture_bilinear_wrap), which is bit-faithful to the
+  reference shader but gather-bound on TPU.
+- culling is a per-(view, tile) BITMASK over face chunks, built in XLA from
+  chunk union bboxes (segment min/max, no gathers) and stored in SMEM: the
+  CudaRaster bin/coarse stages collapse into `(word >> bit) & 1`.
+- the kernel runs two phases per tile with STATIC loop bounds (Mosaic compile
+  time explodes on dynamic-bound loops: 6 s static vs 78 s dynamic vs minutes
+  for cond-in-loop, measured): a depth phase (exact edge functions +
+  screen-affine z/w plane -> nearest-depth winner per pixel) and an attribute
+  phase that revisits only chunks containing winners, masked-reducing the
+  winner's corner attributes and barycentrics. Lambert shading
+  (renfine_color semantics) and the pointcloud threshold/downscale run on the
+  selected values before the single (8, 256) output store per tile.
+
+Output equals render_and_transform's render branch (color, xyz shaded,
+flipped, thresholded) up to the vertex-sampled-texture substitution; tests
+pin it against the unfused ops with per-vertex colors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from foundationpose_cpp_tpu.meshio.mesh_loader import MeshAsset
+
+_BIG = 2**30
+# 16x16-pixel tiles (256 lanes): with typical face bboxes of 3-6 px the tile
+# must be comfortably larger than a face or chunk bboxes span many tiles.
+TILE_H = 32
+TILE_W = 32
+LANES = TILE_H * TILE_W  # 1024
+
+
+def sample_texture_at_uv(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Numpy bilinear-wrap texture sampling at (u, 1-v) -- matches the
+    renderer's uv flip + TextureFwdKernelLinear1 semantics exactly."""
+    th, tw, _ = texture.shape
+    mu = uv[:, 0] * tw - 0.5
+    mv = (1.0 - uv[:, 1]) * th - 0.5
+    iu0 = np.floor(mu).astype(np.int64)
+    iv0 = np.floor(mv).astype(np.int64)
+    fu = (mu - iu0)[:, None]
+    fv = (mv - iv0)[:, None]
+    u0, u1 = iu0 % tw, (iu0 + 1) % tw
+    v0, v1 = iv0 % th, (iv0 + 1) % th
+    return (
+        texture[v0, u0] * (1 - fu) * (1 - fv)
+        + texture[v0, u1] * fu * (1 - fv)
+        + texture[v1, u0] * (1 - fu) * fv
+        + texture[v1, u1] * fu * fv
+    ).astype(np.float32)
+
+
+def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Sort order of 3-D points along a Morton (Z-order) curve."""
+    pts = np.asarray(points, dtype=np.float64)
+    lo = pts.min(axis=0)
+    span = np.maximum(pts.max(axis=0) - lo, 1e-12)
+    q = np.clip(((pts - lo) / span * (2**bits - 1)).astype(np.uint64), 0, 2**bits - 1)
+    code = np.zeros(pts.shape[0], dtype=np.uint64)
+    for b in range(bits):
+        for axis in range(3):
+            code |= ((q[:, axis] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                3 * b + axis
+            )
+    return np.argsort(code, kind="stable")
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["face_verts", "face_normals", "face_colors"],
+    meta_fields=["num_faces", "diameter"],
+)
+@dataclasses.dataclass(frozen=True)
+class FusedMeshTables:
+    """Face-expanded, Morton-ordered mesh constants for the megakernel."""
+
+    face_verts: jnp.ndarray  # (F, 3, 3) centered corner positions
+    face_normals: jnp.ndarray  # (F, 3, 3) corner normals
+    face_colors: jnp.ndarray  # (F, 3, 3) texture sampled at corner UVs
+    num_faces: int
+    diameter: float
+
+    @staticmethod
+    def from_asset(asset: MeshAsset) -> "FusedMeshTables":
+        centered = asset.vertices - asset.model_center[None, :]
+        fv = centered[asset.faces]  # (F, 3, 3)
+        order = morton_order(fv.mean(axis=1))  # spatial locality for chunks
+        faces = asset.faces[order]
+        fv = centered[faces]
+        fn = asset.vertex_normals[faces]
+        vcol = sample_texture_at_uv(asset.texture, asset.texcoords)
+        fc = vcol[faces]
+        return FusedMeshTables(
+            face_verts=jnp.asarray(fv, jnp.float32),
+            face_normals=jnp.asarray(fn, jnp.float32),
+            face_colors=jnp.asarray(fc, jnp.float32),
+            num_faces=int(faces.shape[0]),
+            diameter=float(asset.diameter),
+        )
+
+
+# ---------------------------------------------------------------------------
+# kernel
+
+
+def _fused_kernel(
+    coeff_ref,  # (1, F_pad, 16) VMEM: [a0(3) a1(3) a2(3) zwplane(3) pad]
+    attr_ref,  # (1, F_pad, 24) VMEM: corners x [r g b x y z d pad]
+    bits_ref,  # (1, n_tiles, W32) SMEM i32: chunk-overlap bitmask per tile
+    trans_ref,  # (1, 1, 8) SMEM: [tx ty tz 0 0 0 0 0]
+    out_ref,  # (1, 1, 1, 8, LANES) VMEM
+    state_f_ref,  # (16, LANES) f32 VMEM scratch
+    state_i_ref,  # (8, LANES) i32 VMEM scratch
+    *,
+    n_chunks,
+    chunk,
+    img_h,
+    img_w,
+    n_tx,
+    w_ambient,
+    w_diffuse,
+    min_depth,
+    max_depth,
+    inv_downscale,
+):
+    """All control flow is STATIC fori + @pl.when (see module docstring);
+    pixel state lives in VMEM scratch because predicated bodies cannot carry
+    loop values."""
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    py = ty * TILE_H + lane // TILE_W
+    px = tx * TILE_W + lane % TILE_W
+    fy = (2.0 * py.astype(jnp.float32) + 1.0) / img_h - 1.0
+    fx = (2.0 * px.astype(jnp.float32) + 1.0) / img_w - 1.0
+
+    t_lin = ty * n_tx + tx
+
+    def chunk_live(ci):
+        word = bits_ref[0, t_lin, ci // 32]
+        return ((word >> (ci % 32)) & 1) != 0
+
+    def edges(cf):
+        a0 = cf[:, 0:1] * fx + cf[:, 1:2] * fy + cf[:, 2:3]
+        a1 = cf[:, 3:4] * fx + cf[:, 4:5] * fy + cf[:, 5:6]
+        a2 = cf[:, 6:7] * fx + cf[:, 7:8] * fy + cf[:, 8:9]
+        return a0, a1, a2
+
+    # scratch rows: f[0]=best_zw, i[0]=best_pos, f[1..8]=chans+hit
+    state_f_ref[0:1] = jnp.full((1, LANES), jnp.inf, jnp.float32)
+    state_i_ref[0:1] = jnp.full((1, LANES), _BIG, jnp.int32)
+
+    # ---- phase 1: nearest-depth winner per pixel --------------------------
+    def depth_body(ci, carry):
+        @pl.when(chunk_live(ci))
+        def _():
+            cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
+            a0, a1, a2 = edges(cf)
+            covered = ((a0 >= 0) & (a1 >= 0) & (a2 >= 0)) | (
+                (a0 <= 0) & (a1 <= 0) & (a2 <= 0)
+            )
+            covered &= (a0 + a1 + a2) != 0.0
+            zw = cf[:, 9:10] * fx + cf[:, 10:11] * fy + cf[:, 11:12]
+            covered &= (zw >= -1.0) & (zw <= 1.0)
+            zw = jnp.where(covered, zw, jnp.inf)
+            local_zw = jnp.min(zw, axis=0, keepdims=True)
+            pos_c = jax.lax.broadcasted_iota(jnp.int32, zw.shape, 0) + ci * chunk
+            local_pos = jnp.min(
+                jnp.where((zw == local_zw) & (local_zw < jnp.inf), pos_c, _BIG),
+                axis=0,
+                keepdims=True,
+            )
+            best_zw = state_f_ref[0:1]
+            best_pos = state_i_ref[0:1]
+            take = (local_zw < best_zw) | (
+                (local_zw == best_zw) & (local_pos < best_pos)
+            )
+            state_f_ref[0:1] = jnp.where(take, local_zw, best_zw)
+            state_i_ref[0:1] = jnp.where(take, local_pos, best_pos)
+
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, depth_body, 0)
+    best_zw = state_f_ref[0:1]
+    best_pos = state_i_ref[0:1]
+
+    # ---- phase 2: attribute resolve for winner chunks ---------------------
+    # Winners inside one 16x16 tile come from spatially adjacent faces, which
+    # Morton ordering places in a compact index range: two vector reduces give
+    # [smin, smax], and every per-iteration predicate below is a SCALAR range
+    # test (a vector any() per chunk per tile costs more than the attr math).
+    state_f_ref[1:9] = jnp.zeros((8, LANES), jnp.float32)
+    fg_mask = best_pos < _BIG
+    smin = jnp.min(jnp.where(fg_mask, best_pos, _BIG))
+    smax = jnp.max(jnp.where(fg_mask, best_pos, -1))
+    sub = max(chunk // 4, 8)  # fine extraction granularity
+    n_sub = chunk // sub
+
+    def attr_sub(lo):
+        cf = coeff_ref[0, pl.ds(lo, sub), :]
+        at = attr_ref[0, pl.ds(lo, sub), :]
+        a0, a1, a2 = edges(cf)
+        pos_c = jax.lax.broadcasted_iota(jnp.int32, a0.shape, 0) + lo
+        mf = (pos_c == best_pos).astype(jnp.float32)
+
+        def sel(vals):  # (sub, LANES) or (sub, 1) -> (1, LANES)
+            return jnp.sum(mf * vals, axis=0, keepdims=True)
+
+        sa0 = sel(a0)
+        sa1 = sel(a1)
+        ssum = sa0 + sa1 + sel(a2)
+        iw = jnp.where(ssum != 0.0, 1.0 / jnp.where(ssum == 0.0, 1.0, ssum), 0.0)
+        b0 = sa0 * iw
+        b1 = sa1 * iw
+        b2 = 1.0 - b0 - b1
+
+        hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
+        rows = [
+            b0 * sel(at[:, 0 + c : 0 + c + 1])
+            + b1 * sel(at[:, 8 + c : 8 + c + 1])
+            + b2 * sel(at[:, 16 + c : 16 + c + 1])
+            for c in range(7)  # r g b x y z d
+        ]
+        prev = state_f_ref[1:9]
+        update = jnp.concatenate(
+            rows + [jnp.ones((1, LANES), jnp.float32)], axis=0
+        )
+        state_f_ref[1:9] = prev + update * hit
+
+    def attr_body(ci, carry):
+        lo = ci * chunk
+
+        @pl.when((smin < lo + chunk) & (smax >= lo))
+        def _():
+            for s in range(n_sub):
+                slo = lo + s * sub
+
+                @pl.when((smin < slo + sub) & (smax >= slo))
+                def _():
+                    attr_sub(slo)
+
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, attr_body, 0)
+    st = state_f_ref[1:9]
+    r, g, b = st[0:1], st[1:2], st[2:3]
+    x, y, z, d = st[3:4], st[4:5], st[5:6], st[6:7]
+    fg = (best_pos < _BIG).astype(jnp.float32)
+
+    # ---- shade (renfine_color) + clamp ------------------------------------
+    light = (w_ambient + d * w_diffuse) * fg
+    r = jnp.clip(r * light, 0.0, 1.0)
+    g = jnp.clip(g * light, 0.0, 1.0)
+    b = jnp.clip(b * light, 0.0, 1.0)
+
+    # ---- threshold_and_downscale_pointcloud --------------------------------
+    invalid = z < min_depth
+    xs = (x - trans_ref[0, 0, 0]) * inv_downscale
+    ys_ = (y - trans_ref[0, 0, 1]) * inv_downscale
+    zs = (z - trans_ref[0, 0, 2]) * inv_downscale
+    xs = jnp.where((jnp.abs(xs) > max_depth) | invalid, 0.0, xs)
+    ys_ = jnp.where((jnp.abs(ys_) > max_depth) | invalid, 0.0, ys_)
+    zs = jnp.where((jnp.abs(zs) > max_depth) | invalid, 0.0, zs)
+
+    out = jnp.concatenate(
+        [r, g, b, xs, ys_, zs, best_zw * fg, fg], axis=0
+    )  # (8, LANES)
+    out_ref[0, 0, 0] = out
+
+
+# ---------------------------------------------------------------------------
+# host-side orchestration
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "img_h", "img_w", "chunk", "interpret",
+        "w_ambient", "w_diffuse", "min_depth", "max_depth",
+    ),
+)
+def render_views_fused(
+    tables: FusedMeshTables,
+    poses: jnp.ndarray,
+    clip_mats: jnp.ndarray,
+    img_h: int,
+    img_w: int,
+    w_ambient: float = 0.8,
+    w_diffuse: float = 0.5,
+    min_depth: float = 0.001,
+    max_depth: float = 4.0,
+    chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
+
+    clip_mats: (N, 4, 4) mesh-frame -> crop-NDC matrices (pose_clip_matrix).
+    Output is shaded, vertically flipped, thresholded/diameter-normalized:
+    channels 0:3 color, 3:6 xyz.
+    """
+    n = poses.shape[0]
+    f = tables.num_faces
+    assert img_h % TILE_H == 0 and img_w % TILE_W == 0
+    n_ty, n_tx = img_h // TILE_H, img_w // TILE_W
+    n_tiles = n_ty * n_tx
+    f32 = jax.lax.Precision.HIGHEST
+
+    # ------------------------------------------------------------------
+    # PLANE-ORIENTED prepass: every intermediate is an (N, F) array whose
+    # minor dim is the large face axis. TPU tiling pads the minor dim to 128
+    # lanes, so any (N, F, small) temporary costs up to 128/small x its
+    # logical size -- a (252, 6016, 16) coefficient table is 740 MB in HBM
+    # (measured OOM). Components therefore live as separate planes and only
+    # the kernel inputs are packed, one view-group at a time.
+    # ------------------------------------------------------------------
+    fv_k = [tables.face_verts[:, k, :] for k in range(3)]  # 3 x (F, 3)
+    fn_k = [tables.face_normals[:, k, :] for k in range(3)]
+
+    def proj(rows_nc, offs_n, pts_f3):
+        """(N,3) row x (F,3) points + (N,) offset -> (N, F) plane."""
+        return (
+            jnp.einsum("nj,fj->nf", rows_nc, pts_f3, precision=f32)
+            + offs_n[:, None]
+        )
+
+    # clip components per corner: x,y,z,w
+    clip_k = []
+    for k in range(3):
+        comp = {}
+        for ci, name in enumerate("xyzw"):
+            comp[name] = proj(clip_mats[:, ci, :3], clip_mats[:, ci, 3], fv_k[k])
+        clip_k.append(comp)
+
+    def cross_planes(q, r):
+        """Edge coefficients: cross((qx,qy,qw), (rx,ry,rw)) -> 3 planes."""
+        return (
+            q["y"] * r["w"] - q["w"] * r["y"],
+            q["w"] * r["x"] - q["x"] * r["w"],
+            q["x"] * r["y"] - q["y"] * r["x"],
+        )
+
+    e0 = cross_planes(clip_k[1], clip_k[2])
+    e1 = cross_planes(clip_k[2], clip_k[0])
+    e2 = cross_planes(clip_k[0], clip_k[1])
+    edge_planes = list(e0) + list(e1) + list(e2)  # 9 x (N, F)
+
+    # screen coords + z/w per corner
+    sxk, syk, zwk = [], [], []
+    for k in range(3):
+        w_c = clip_k[k]["w"]
+        sxk.append(clip_k[k]["x"] / w_c)
+        syk.append(clip_k[k]["y"] / w_c)
+        zwk.append(clip_k[k]["z"] / w_c)
+
+    # screen-affine z/w plane (alpha, beta, gamma)
+    d1x = sxk[1] - sxk[0]
+    d1y = syk[1] - syk[0]
+    d2x = sxk[2] - sxk[0]
+    d2y = syk[2] - syk[0]
+    dz1 = zwk[1] - zwk[0]
+    dz2 = zwk[2] - zwk[0]
+    det = d1x * d2y - d1y * d2x
+    plane_ok = jnp.abs(det) > 1e-20
+    safe = jnp.where(plane_ok, det, 1.0)
+    alpha = (dz1 * d2y - dz2 * d1y) / safe
+    beta = (dz2 * d1x - dz1 * d2x) / safe
+    gamma = zwk[0] - alpha * sxk[0] - beta * syk[0]
+
+    w_pos = (clip_k[0]["w"] > 0) & (clip_k[1]["w"] > 0) & (clip_k[2]["w"] > 0)
+    nondeg = jnp.zeros_like(w_pos)
+    for p in edge_planes:
+        nondeg |= p != 0.0
+    valid = w_pos & plane_ok & nondeg
+
+    # per-corner attributes: camera xyz (rot @ v + t) and diffuse intensity
+    rot = poses[:, :3, :3]
+    attr_xyz = []  # [corner][component] -> (N, F)
+    diffuse_k = []
+    for k in range(3):
+        comps = [
+            proj(rot[:, ci, :], poses[:, ci, 3], fv_k[k]) for ci in range(3)
+        ]
+        attr_xyz.append(comps)
+        tnx = jnp.einsum("nj,fj->nf", rot[:, 0, :], fn_k[k], precision=f32)
+        tny = jnp.einsum("nj,fj->nf", rot[:, 1, :], fn_k[k], precision=f32)
+        tnz = jnp.einsum("nj,fj->nf", rot[:, 2, :], fn_k[k], precision=f32)
+        nrm = jnp.sqrt(tnx * tnx + tny * tny + tnz * tnz)
+        diffuse_k.append(
+            jnp.clip(
+                jnp.where(nrm == 0.0, 0.0, -tnz / jnp.maximum(nrm, 1e-30)),
+                0.0, 1.0,
+            )
+        )
+
+    # pixel bboxes bounding covered pixel CENTERS (+-0.25 f32 safety)
+    pxs = [(s + 1.0) * (img_w / 2.0) - 0.5 for s in sxk]
+    pys = [(s + 1.0) * (img_h / 2.0) - 0.5 for s in syk]
+    x0 = jnp.floor(jnp.minimum(jnp.minimum(pxs[0], pxs[1]), pxs[2]) - 0.25)
+    x1 = jnp.ceil(jnp.maximum(jnp.maximum(pxs[0], pxs[1]), pxs[2]) + 0.25)
+    y0 = jnp.floor(jnp.minimum(jnp.minimum(pys[0], pys[1]), pys[2]) - 0.25)
+    y1 = jnp.ceil(jnp.maximum(jnp.maximum(pys[0], pys[1]), pys[2]) + 0.25)
+    onscreen = (x1 >= 0) & (x0 < img_w) & (y1 >= 0) & (y0 < img_h)
+    valid &= onscreen
+
+    # invalid faces: zero edge coefficients (never covered) + empty bbox
+    edge_planes = [jnp.where(valid, p, 0.0) for p in edge_planes]
+    inf = jnp.float32(jnp.inf)
+    x0 = jnp.where(valid, x0, inf)
+    y0 = jnp.where(valid, y0, inf)
+    x1 = jnp.where(valid, x1, -inf)
+    y1 = jnp.where(valid, y1, -inf)
+
+    pad_f = (-f) % chunk
+
+    def padf(p, value=0.0):
+        return (
+            jnp.pad(p, ((0, 0), (0, pad_f)), constant_values=value)
+            if pad_f else p
+        )
+
+    f_pad = f + pad_f
+    n_chunks = f_pad // chunk
+
+    coeff_planes = [padf(p) for p in edge_planes] + [
+        padf(alpha), padf(beta), padf(gamma),
+    ]
+    zeros = jnp.zeros((n, f_pad), jnp.float32)
+    coeff_planes += [zeros] * 4  # pad to 16
+
+    colors = tables.face_colors  # (F, 3, 3) pose-independent
+    attr_planes = []
+    for k in range(3):  # corner-major: r g b x y z d pad
+        for q in range(3):
+            attr_planes.append(
+                padf(jnp.broadcast_to(colors[None, :, k, q], (n, f)))
+            )
+        for q in range(3):
+            attr_planes.append(padf(attr_xyz[k][q]))
+        attr_planes.append(padf(diffuse_k[k]))
+        attr_planes.append(zeros)
+
+    # chunk union bboxes -> per-(view, tile) overlap bitmask
+    cx0 = jnp.min(padf(x0, jnp.inf).reshape(n, n_chunks, chunk), axis=2)
+    cy0 = jnp.min(padf(y0, jnp.inf).reshape(n, n_chunks, chunk), axis=2)
+    cx1 = jnp.max(padf(x1, -jnp.inf).reshape(n, n_chunks, chunk), axis=2)
+    cy1 = jnp.max(padf(y1, -jnp.inf).reshape(n, n_chunks, chunk), axis=2)
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tlx = ((tile_ids % n_tx) * TILE_W).astype(jnp.float32)  # (T,)
+    tly = ((tile_ids // n_tx) * TILE_H).astype(jnp.float32)
+    overlap = (
+        (cx0[:, :, None] <= tlx[None, None, :] + (TILE_W - 1))
+        & (cx1[:, :, None] >= tlx[None, None, :])
+        & (cy0[:, :, None] <= tly[None, None, :] + (TILE_H - 1))
+        & (cy1[:, :, None] >= tly[None, None, :])
+    )  # (N, n_chunks, T)
+
+    pad_c = (-n_chunks) % 32
+    if pad_c:
+        overlap = jnp.pad(overlap, ((0, 0), (0, pad_c), (0, 0)))
+    w32 = (n_chunks + pad_c) // 32
+    bit_weights = jnp.int32(1) << jnp.arange(32, dtype=jnp.int32)
+    bits = (
+        overlap.transpose(0, 2, 1)
+        .reshape(n, n_tiles, w32, 32)
+        .astype(jnp.int32)
+        * bit_weights[None, None, None, :]
+    ).sum(axis=-1).astype(jnp.int32)  # (N, T, W32); disjoint bits: sum == or
+
+    trans = jnp.pad(poses[:, :3, 3], ((0, 0), (0, 5))).reshape(n, 1, 8)
+
+    kernel = functools.partial(
+        _fused_kernel,
+        n_chunks=n_chunks,
+        chunk=chunk,
+        img_h=img_h,
+        img_w=img_w,
+        n_tx=n_tx,
+        w_ambient=w_ambient,
+        w_diffuse=w_diffuse,
+        min_depth=min_depth,
+        max_depth=max_depth,
+        inv_downscale=2.0 / tables.diameter,
+    )
+
+    def run_group(args):
+        """Pack the lane-padded kernel tables for a view GROUP only: the
+        (G, F_pad, 16/24) inputs are padded 16/24 -> 128 lanes in HBM, so
+        the whole 252-view batch at once would be ~1.5 GB of pure padding."""
+        coeff_g, attr_g, bits_g, trans_g = args
+        g = coeff_g.shape[1]
+        coeffs_packed = coeff_g.transpose(1, 2, 0)  # (G, F_pad, 16)
+        attrs_packed = attr_g.transpose(1, 2, 0)  # (G, F_pad, 24)
+        return pl.pallas_call(
+            kernel,
+            grid=(g, n_ty, n_tx),
+            in_specs=[
+                pl.BlockSpec((1, f_pad, 16), lambda i, t, u: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, f_pad, 24), lambda i, t, u: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_tiles, w32), lambda i, t, u: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda i, t, u: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, 8, LANES), lambda i, t, u: (i, t, u, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (g, n_ty, n_tx, 8, LANES), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((16, LANES), jnp.float32),
+                pltpu.VMEM((8, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(coeffs_packed, attrs_packed, bits_g, trans_g)
+
+    group = max(1, min(n, (192 * 1024 * 1024) // (f_pad * 128 * 4 * 2)))
+    pad_n = (-n) % group
+    n_pad = n + pad_n
+
+    def padn(p):
+        return jnp.pad(p, ((0, pad_n),) + ((0, 0),) * (p.ndim - 1)) if pad_n else p
+
+    coeff_stack = jnp.stack([padn(p) for p in coeff_planes])  # (16, Np, F_pad)
+    attr_stack = jnp.stack([padn(p) for p in attr_planes])  # (24, Np, F_pad)
+    n_groups = n_pad // group
+    out = jax.lax.map(
+        run_group,
+        (
+            coeff_stack.reshape(16, n_groups, group, f_pad).transpose(1, 0, 2, 3),
+            attr_stack.reshape(24, n_groups, group, f_pad).transpose(1, 0, 2, 3),
+            padn(bits).reshape(n_groups, group, n_tiles, w32),
+            padn(trans).reshape(n_groups, group, 1, 8),
+        ),
+    )  # (n_groups, G, TY, TX, 8, LANES)
+    out = out.reshape(n_pad, n_ty, n_tx, 8, LANES)[:n]
+
+    # untile: (N, TY, TX, 8ch, TH*TW) -> (N, H, W, 8) -> flip -> 6 channels
+    out = out.reshape(n, n_ty, n_tx, 8, TILE_H, TILE_W)
+    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(n, img_h, img_w, 8)
+    out = out[:, ::-1, :, :6]  # vertical flip (GL y-up -> image y-down)
+    return out

@@ -116,3 +116,79 @@ def warp_crop_nearest_f32(
         for k in range(c)
     ]
     return jnp.stack(planes, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation
+#
+# The crop transforms produced by ComputeTF are PURE scale+translate (zero
+# off-diagonals, foundationpose_render.cpp:25-42), so the warp is separable:
+# out[y, x] = img[sy(y), sx(x)]. Bilinear (or nearest) resampling along each
+# axis is a banded weight matrix, and the whole 252-pose warp becomes two
+# batched matmuls -- out = Wy @ img @ Wx^T -- that run on the MXU instead of
+# 10^8 serialized gathers (XLA:TPU gathers measured at ~23 M fetches/s, which
+# made the gather formulation the pipeline bottleneck).
+
+
+def _axis_sources(tfs: jnp.ndarray, crop: int, axis: int) -> jnp.ndarray:
+    """Per-pose source coordinate of each crop pixel along one axis: (N, crop)."""
+    inv = invert_affine3(tfs)
+    out_coords = jnp.arange(crop, dtype=jnp.float32)
+    scale = inv[:, axis, axis][:, None]
+    off = inv[:, axis, 2][:, None]
+    return scale * out_coords[None, :] + off
+
+
+def _linear_weights(src: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N, crop, size) bilinear hat weights; zero outside [0, size-1].
+
+    Equals the gather formulation exactly: the hat max(0, 1-|src-s|) summed
+    over in-range s reproduces corner weights with BORDER_CONSTANT 0.
+    """
+    s = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - s[None, None, :]))
+
+
+def _nearest_weights(src: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N, crop, size) one-hot selection at round(src); zero out of range."""
+    s = jnp.arange(size, dtype=jnp.float32)
+    return (jnp.round(src)[..., None] == s[None, None, :]).astype(jnp.float32)
+
+
+def _separable_warp(
+    planes: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray
+) -> jnp.ndarray:
+    """planes (C, H, W) x wy (N, ch, H) x wx (N, cw, W) -> (N, ch, cw, C)."""
+    f32 = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("noh,chw->ncow", wy, planes, precision=f32)
+    return jnp.einsum("ncow,npw->nopc", tmp, wx, precision=f32)
+
+
+def warp_crop_linear_u8_mxu(
+    rgb: jnp.ndarray, tfs: jnp.ndarray, crop_h: int, crop_w: int
+) -> jnp.ndarray:
+    """MXU bilinear u8 warp; numerically identical to warp_crop_linear_u8.
+
+    Requires rotation-free tfs (true for all crop-window transforms)."""
+    h, w, _ = rgb.shape
+    # tf rows: row 0 acts on x, row 1 on y
+    sx = _axis_sources(tfs, crop_w, 0)
+    sy = _axis_sources(tfs, crop_h, 1)
+    wy = _linear_weights(sy, h)
+    wx = _linear_weights(sx, w)
+    planes = rgb.astype(jnp.float32).transpose(2, 0, 1)  # (3, H, W)
+    out = _separable_warp(planes, wy, wx)
+    return jnp.round(out) * (1.0 / 255.0)
+
+
+def warp_crop_nearest_f32_mxu(
+    img: jnp.ndarray, tfs: jnp.ndarray, crop_h: int, crop_w: int
+) -> jnp.ndarray:
+    """MXU nearest warp; numerically identical to warp_crop_nearest_f32."""
+    h, w, _ = img.shape
+    sx = _axis_sources(tfs, crop_w, 0)
+    sy = _axis_sources(tfs, crop_h, 1)
+    wy = _nearest_weights(sy, h)
+    wx = _nearest_weights(sx, w)
+    planes = img.transpose(2, 0, 1)
+    return _separable_warp(planes, wy, wx)

@@ -53,6 +53,7 @@ def refine_loop(
     cfg: FoundationPoseConfig,
     net_cfg: networks.NetConfig,
     rasterize_fn: Any = None,
+    use_fused: bool = False,
 ) -> jnp.ndarray:
     """scan over refine iterations: render -> refiner -> compose delta.
 
@@ -63,7 +64,8 @@ def refine_loop(
 
     def body(poses, _):
         render_in, transf_in = render_and_transform(
-            mesh, poses, rgb, xyz_map, K, cfg.refine_crop_ratio, cfg, rasterize_fn
+            mesh, poses, rgb, xyz_map, K, cfg.refine_crop_ratio, cfg,
+            rasterize_fn, use_fused,
         )
         out = networks.apply_refiner(params_r, render_in, transf_in, net_cfg)
         new_poses = transforms.apply_refine_delta(
@@ -89,6 +91,7 @@ def register_step(
     net_cfg: networks.NetConfig,
     rasterize_fn: Any = None,
     hyp_valid: jnp.ndarray | None = None,
+    use_fused: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The full Register computation as one traceable function.
 
@@ -113,11 +116,12 @@ def register_step(
 
     poses = refine_loop(
         mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
-        rasterize_fn,
+        rasterize_fn, use_fused,
     )
 
     render_in, transf_in = render_and_transform(
-        mesh, poses, rgb, xyz_map, K, cfg.score_crop_ratio, cfg, rasterize_fn
+        mesh, poses, rgb, xyz_map, K, cfg.score_crop_ratio, cfg, rasterize_fn,
+        use_fused,
     )
     out = networks.apply_scorer(params_s, render_in, transf_in, net_cfg)
     scores = out["scores"][:, 0]
@@ -138,6 +142,7 @@ def track_step(
     cfg: FoundationPoseConfig,
     net_cfg: networks.NetConfig,
     rasterize_fn: Any = None,
+    use_fused: bool = False,
 ) -> jnp.ndarray:
     """Track computation for a (N, 4, 4) batch of instances of one mesh.
 
@@ -146,7 +151,7 @@ def track_step(
     xyz_map = depth_ops.depth_to_xyz(depth, K, cfg.min_depth)
     return refine_loop(
         mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
-        rasterize_fn,
+        rasterize_fn, use_fused,
     )
 
 
@@ -164,6 +169,7 @@ class FoundationPose:
         config: FoundationPoseConfig = DEFAULT_CONFIG,
         net_config: networks.NetConfig = networks.NetConfig(),
         rasterize_fn: Any = None,
+        use_fused_renderer: bool | None = None,
     ) -> None:
         if not mesh_assets:
             raise ValueError("[FoundationPose] need at least one mesh asset")
@@ -185,6 +191,11 @@ class FoundationPose:
             icosphere.make_rotation_grid(config.n_views, config.inplane_step_deg)
         )
         self._rasterize_fn = rasterize_fn
+        if use_fused_renderer is None:
+            # the fused megakernel is the TPU production path; the unfused
+            # op composition is the exact/portable path used elsewhere
+            use_fused_renderer = jax.default_backend() == "tpu"
+        self._use_fused = bool(use_fused_renderer)
         self._register_cache: dict[tuple, Any] = {}
         self._track_cache: dict[tuple, Any] = {}
 
@@ -226,7 +237,7 @@ class FoundationPose:
             return register_step(
                 mesh, params_r, params_s, rgb, depth, mask, rot_grid,
                 self._K, refine_itr, self._cfg, self._net_cfg,
-                self._rasterize_fn,
+                self._rasterize_fn, use_fused=self._use_fused,
             )
 
         return program
@@ -239,6 +250,7 @@ class FoundationPose:
             poses = track_step(
                 mesh, params_r, rgb, depth, pose[None, :, :], self._K,
                 refine_itr, self._cfg, self._net_cfg, self._rasterize_fn,
+                use_fused=self._use_fused,
             )
             return poses[0]
 
@@ -347,7 +359,8 @@ class FoundationPose:
             def program(params_r, rgb, depth, poses):
                 return track_step(
                     mesh, params_r, rgb, depth, poses, self._K,
-                    int(refine_itr), self._cfg, self._net_cfg, self._rasterize_fn,
+                    int(refine_itr), self._cfg, self._net_cfg,
+                    self._rasterize_fn, use_fused=self._use_fused,
                 )
 
             self._track_cache[key] = program

@@ -16,8 +16,10 @@ Pipeline order matches NvdiffrastRender (:611-683) + RenderProcess (:685-729)
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +30,14 @@ from foundationpose_cpp_tpu.ops import pointcloud, warp
 from foundationpose_cpp_tpu.ops import rasterize as ras
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "vertices", "normals", "texcoords", "faces", "face_valid", "texture",
+        "model_center", "orient_bounds", "fused",
+    ],
+    meta_fields=["diameter"],
+)
 @dataclasses.dataclass(frozen=True)
 class MeshConstants:
     """Device-resident mesh tensors, preprocessed once per mesh.
@@ -47,6 +57,7 @@ class MeshConstants:
     diameter: float
     model_center: jnp.ndarray  # (3,)
     orient_bounds: jnp.ndarray  # (4, 4)
+    fused: "FusedMeshTables"  # face-expanded tables for the megakernel
 
     @staticmethod
     def from_asset(asset: MeshAsset, face_pad: int = 128) -> "MeshConstants":
@@ -60,6 +71,8 @@ class MeshConstants:
         if pad:
             f = np.concatenate([f, np.zeros((pad, 3), dtype=np.int32)], axis=0)
             valid = np.concatenate([valid, np.zeros((pad,), dtype=bool)])
+        from foundationpose_cpp_tpu.ops.render_fused import FusedMeshTables
+
         return MeshConstants(
             vertices=jnp.asarray(verts, dtype=jnp.float32),
             normals=jnp.asarray(asset.vertex_normals, dtype=jnp.float32),
@@ -70,6 +83,7 @@ class MeshConstants:
             diameter=float(asset.diameter),
             model_center=jnp.asarray(asset.model_center, dtype=jnp.float32),
             orient_bounds=jnp.asarray(asset.orient_bounds, dtype=jnp.float32),
+            fused=FusedMeshTables.from_asset(asset),
         )
 
 
@@ -82,6 +96,7 @@ def render_and_transform(
     crop_ratio: float,
     cfg: FoundationPoseConfig,
     rasterize_fn: Any = None,
+    use_fused: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Produce the two 6-channel model input crops for N poses.
 
@@ -106,11 +121,29 @@ def render_and_transform(
         poses, K, (ch, cw), crop_ratio, mesh.diameter
     )
     bbox2d = transforms.construct_bbox2d(tfs, ch, cw)
-
-    # ---- render branch (RenderProcess / NvdiffrastRender) ----
     clip_mat = transforms.pose_clip_matrix(
         poses, bbox2d, K, h, w, cfg.znear, cfg.zfar
     )
+
+    if use_fused:
+        # TPU production path: one megakernel for the render branch, MXU
+        # matmuls for the observed branch -- zero per-pixel gathers
+        from foundationpose_cpp_tpu.ops.render_fused import render_views_fused
+
+        render_input = render_views_fused(
+            mesh.fused, poses, clip_mat, ch, cw,
+            w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+        )
+        rgb_crop = warp.warp_crop_linear_u8_mxu(rgb, tfs, ch, cw)
+        xyz_crop = warp.warp_crop_nearest_f32_mxu(xyz_map, tfs, ch, cw)
+        xyz_crop = pointcloud.threshold_and_downscale_pointcloud(
+            xyz_crop, poses, mesh.diameter / 2.0, cfg.min_depth, cfg.max_depth
+        )
+        transf_input = pointcloud.concat_channels(rgb_crop, xyz_crop)
+        return render_input, transf_input
+
+    # ---- render branch (RenderProcess / NvdiffrastRender) ----
     clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)
     rast = rasterizer(clip, mesh.faces, ch, cw, face_valid=mesh.face_valid)
 

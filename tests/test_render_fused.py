@@ -1,0 +1,133 @@
+"""Fused render megakernel (interpret mode) vs the unfused op composition."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from foundationpose_cpp_tpu.config import FoundationPoseConfig
+from foundationpose_cpp_tpu.geometry import transforms
+from foundationpose_cpp_tpu.meshio import procedural
+from foundationpose_cpp_tpu.ops import pointcloud
+from foundationpose_cpp_tpu.ops import rasterize as ras
+from foundationpose_cpp_tpu.ops.render_fused import (
+    FusedMeshTables,
+    render_views_fused,
+    sample_texture_at_uv,
+)
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+from foundationpose_cpp_tpu.utils import synthetic
+
+CFG = FoundationPoseConfig()
+K = np.array([[300.0, 0, 64], [0, 300.0, 64], [0, 0, 1]], dtype=np.float32)
+IMG_H, IMG_W = 128, 128
+CROP = 32  # multiple of both tile dims
+
+
+def _unfused_reference(asset, mesh, poses, clipm):
+    """Unfused pipeline with vertex-sampled texture colors (the fused
+    kernel's texturing mode) -- everything else identical to the render
+    branch of render_and_transform."""
+    clip = transforms.transform_points_homogeneous(clipm, mesh.vertices)
+    rast = ras.rasterize(clip, mesh.faces, CROP, CROP, face_valid=mesh.face_valid)
+    vcol = jnp.asarray(sample_texture_at_uv(asset.texture, asset.texcoords))
+    pts_cam = transforms.transform_points(poses, mesh.vertices)
+    diffuse = transforms.diffuse_intensity(poses, mesh.normals)
+    n = poses.shape[0]
+    packed = jnp.concatenate(
+        [
+            jnp.broadcast_to(vcol[None], (n, *vcol.shape)),
+            pts_cam,
+            diffuse[..., None],
+        ],
+        axis=-1,
+    )
+    interp = ras.interpolate_attributes(packed, rast, mesh.faces)
+    color = ras.shade_color(interp[..., 0:3], interp[..., 6:7], rast)
+    xyz = interp[..., 3:6]
+    color = ras.flip_vertical(color)
+    xyz = ras.flip_vertical(xyz)
+    xyz = pointcloud.threshold_and_downscale_pointcloud(
+        xyz, poses, mesh.diameter / 2.0, CFG.min_depth, CFG.max_depth
+    )
+    return np.asarray(pointcloud.concat_channels(color, xyz))
+
+
+def _setup(n_lat=10, n_lon=14, n_poses=3, tz=0.45):
+    asset = procedural.textured_uv_sphere(radius=0.05, n_lat=n_lat, n_lon=n_lon)
+    mesh = MeshConstants.from_asset(asset)
+    tables = FusedMeshTables.from_asset(asset)
+    rng = np.random.default_rng(0)
+    poses = np.tile(synthetic.default_pose(tz)[None], (n_poses, 1, 1))
+    from scipy.spatial.transform import Rotation
+
+    poses[:, :3, :3] = Rotation.random(n_poses, rng).as_matrix()
+    poses = jnp.asarray(poses.astype(np.float32))
+    Kj = jnp.asarray(K)
+    tfs = transforms.compute_crop_window_tf(poses, Kj, (CROP, CROP), 1.2, mesh.diameter)
+    bbox = transforms.construct_bbox2d(tfs, CROP, CROP)
+    clipm = transforms.pose_clip_matrix(poses, bbox, Kj, IMG_H, IMG_W)
+    return asset, mesh, tables, poses, clipm
+
+
+def _agree(got, want, tol=2e-3):
+    diff = np.abs(got - want).max(axis=-1)
+    frac_bad = (diff > tol).mean()
+    return frac_bad
+
+
+def test_fused_matches_unfused_sphere():
+    asset, mesh, tables, poses, clipm = _setup()
+    got = np.asarray(
+        render_views_fused(tables, poses, clipm, CROP, CROP, interpret=True)
+    )
+    want = _unfused_reference(asset, mesh, poses, clipm)
+    assert got.shape == want.shape == (3, CROP, CROP, 6)
+    frac_bad = _agree(got, want)
+    # differences only at razor-edge pixels (tie order / zw-plane epsilon)
+    assert frac_bad < 0.01, f"{frac_bad:.4f} of pixels differ"
+    # substantial foreground must exist for this to be meaningful
+    assert (np.abs(got[..., 3:]).sum(-1) > 0).mean() > 0.2
+
+
+def test_fused_cube_has_big_faces():
+    """Cube faces span many tiles -> exercises the 'big' segment path."""
+    asset = procedural.textured_cube(size=0.1)
+    mesh = MeshConstants.from_asset(asset)
+    tables = FusedMeshTables.from_asset(asset)
+    pose = jnp.asarray(synthetic.default_pose(0.4)[None])
+    Kj = jnp.asarray(K)
+    tfs = transforms.compute_crop_window_tf(pose, Kj, (CROP, CROP), 1.2, mesh.diameter)
+    bbox = transforms.construct_bbox2d(tfs, CROP, CROP)
+    clipm = transforms.pose_clip_matrix(pose, bbox, Kj, IMG_H, IMG_W)
+    got = np.asarray(
+        render_views_fused(tables, pose, clipm, CROP, CROP, interpret=True)
+    )
+    want = _unfused_reference(asset, mesh, pose, clipm)
+    assert _agree(got, want) < 0.01
+    assert (np.abs(got[..., :3]).sum(-1) > 0).mean() > 0.2
+
+
+def test_fused_background_is_zero():
+    asset, mesh, tables, poses, clipm = _setup(n_poses=1)
+    got = np.asarray(
+        render_views_fused(tables, poses, clipm, CROP, CROP, interpret=True)
+    )
+    want = _unfused_reference(asset, mesh, poses, clipm)
+    bg = np.abs(want).sum(-1) == 0
+    assert bg.any()
+    # background must be exactly zero in the fused output too (up to edges)
+    assert (np.abs(got[bg]).sum(-1) == 0).mean() > 0.99
+
+
+def test_sample_texture_matches_texture_op():
+    rng = np.random.default_rng(1)
+    tex = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    uv = rng.uniform(-0.2, 1.2, size=(50, 2)).astype(np.float32)
+    got = sample_texture_at_uv(tex, uv)
+    flipped = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)
+    want = np.asarray(
+        ras.texture_bilinear_wrap(
+            jnp.asarray(tex), jnp.asarray(flipped[None, None])
+        )
+    )[0, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -69,3 +69,24 @@ def test_concat_channels():
     out = np.asarray(pointcloud.concat_channels(jnp.asarray(a), jnp.asarray(b)))
     assert out.shape == (2, 3, 3, 6)
     assert (out[..., :3] == 1).all() and (out[..., 3:] == 0).all()
+
+
+def test_mxu_warps_match_gather_warps():
+    """The separable-matmul warps must equal the gather formulation exactly."""
+    rng = np.random.default_rng(7)
+    src_u8 = rng.integers(0, 256, size=(40, 48, 3)).astype(np.uint8)
+    src_f32 = rng.normal(size=(40, 48, 3)).astype(np.float32)
+    # rotation-free crop-style tfs, including ones partially out of range
+    tfs = np.zeros((4, 3, 3), dtype=np.float32)
+    for i, (s, ox, oy) in enumerate([(0.5, -4, -2), (0.31, -10, -1),
+                                     (1.7, -30, -25), (0.9, 5, 5)]):
+        tfs[i] = [[s, 0, ox], [0, s, oy], [0, 0, 1]]
+    tfs_j = jnp.asarray(tfs)
+
+    lin_g = np.asarray(warp.warp_crop_linear_u8(jnp.asarray(src_u8), tfs_j, 16, 24))
+    lin_m = np.asarray(warp.warp_crop_linear_u8_mxu(jnp.asarray(src_u8), tfs_j, 16, 24))
+    np.testing.assert_allclose(lin_m, lin_g, atol=1e-6)
+
+    nn_g = np.asarray(warp.warp_crop_nearest_f32(jnp.asarray(src_f32), tfs_j, 16, 24))
+    nn_m = np.asarray(warp.warp_crop_nearest_f32_mxu(jnp.asarray(src_f32), tfs_j, 16, 24))
+    np.testing.assert_allclose(nn_m, nn_g, atol=1e-6)
