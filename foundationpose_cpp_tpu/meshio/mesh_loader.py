@@ -339,7 +339,17 @@ def load_mesh(
         raise FileNotFoundError(f"[MeshLoader] mesh file not found: {mesh_path}")
     suffix = path.suffix.lower()
     if suffix == ".obj":
-        pos, uv, nrm, faces, tex_from_mtl = _parse_obj(path)
+        parsed = None
+        try:  # C++ fast path (native/fpnative.cpp); same dedup semantics
+            from foundationpose_cpp_tpu import native
+
+            parsed = native.parse_obj_native(str(path))
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            pos, uv, nrm, faces, tex_from_mtl = parsed
+        else:
+            pos, uv, nrm, faces, tex_from_mtl = _parse_obj(path)
     elif suffix == ".ply":
         pos, uv, nrm, faces, tex_from_mtl = _parse_ply(path)
     else:

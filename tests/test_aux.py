@@ -1,0 +1,167 @@
+"""Aux subsystems: metrics, checkpointing, profiling, async tracker, tools."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from foundationpose_cpp_tpu.models import checkpoint, networks
+from foundationpose_cpp_tpu.utils import metrics, profiling
+
+CFG = networks.NetConfig(
+    stem_channels=(8, 16), trunk_channels=32, num_transformer_blocks=1,
+    num_heads=2, crop_hw=16,
+)
+
+
+def test_add_and_adds_metrics():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(100, 3)) * 0.05
+    gt = np.eye(4)
+    est = np.eye(4)
+    est[:3, 3] = [0.01, 0, 0]
+    np.testing.assert_allclose(metrics.add_error(est, gt, pts), 0.01, rtol=1e-6)
+    assert metrics.adds_error(est, gt, pts) <= 0.01 + 1e-9
+    assert metrics.translation_error(est, gt) == pytest.approx(0.01)
+    assert metrics.rotation_error_deg(est, gt) == pytest.approx(0.0, abs=1e-4)
+
+    from scipy.spatial.transform import Rotation
+
+    est2 = np.eye(4)
+    est2[:3, :3] = Rotation.from_euler("z", 10, degrees=True).as_matrix()
+    assert metrics.rotation_error_deg(est2, gt) == pytest.approx(10.0, abs=1e-3)
+
+    # symmetric object: rotation about symmetry axis leaves ADD-S ~0
+    theta = np.linspace(0, 2 * np.pi, 512, endpoint=False)
+    ring = 0.05 * np.stack([np.cos(theta), np.sin(theta), np.zeros_like(theta)], -1)
+    assert metrics.adds_error(est2, gt, ring) < 1e-3
+    assert metrics.add_error(est2, gt, ring) > 5e-3
+
+    auc = metrics.add_auc(np.array([0.005, 0.02, 0.2]))
+    assert 0.3 < auc < 0.7
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = networks.init_refiner(3, CFG)
+    path = tmp_path / "refiner.npz"
+    checkpoint.save_params(params, str(path))
+    loaded = checkpoint.load_params(str(path))
+
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_a) == len(flat_b)
+    keyfn = lambda item: jax.tree_util.keystr(item[0])
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=keyfn),
+                                  sorted(flat_b, key=keyfn)):
+        assert str(va.dtype) == str(vb.dtype), (pa, va.dtype, vb.dtype)
+        np.testing.assert_array_equal(np.asarray(va, np.float32),
+                                      np.asarray(vb, np.float32))
+    # outputs identical
+    x = jnp.ones((1, CFG.crop_hw, CFG.crop_hw, 6))
+    a = networks.apply_refiner(params, x, x, CFG)
+    b = networks.apply_refiner(loaded, x, x, CFG)
+    np.testing.assert_array_equal(np.asarray(a["trans"]), np.asarray(b["trans"]))
+    assert checkpoint.params_fingerprint(params) == checkpoint.params_fingerprint(loaded)
+
+
+def test_stage_timer_and_fps_counter():
+    timer = profiling.StageTimer()
+    with timer.stage("work") as h:
+        h["result"] = jnp.ones((4,)) * 2
+    assert timer.counts["work"] == 1
+    assert timer.mean_ms("work") >= 0
+    assert "work" in timer.report()
+
+    fps = profiling.FPSCounter()
+    fps.start()
+    fps.count(10)
+    assert fps.fps > 0
+
+
+def test_convert_tool_init_mode(tmp_path):
+    out = tmp_path / "r.npz"
+    res = subprocess.run(
+        [sys.executable, "tools/convert_onnx.py", "--init", "refiner",
+         "--out", str(out)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    loaded = checkpoint.load_params(str(out))
+    assert "encoder" in loaded and "trunk" in loaded
+
+
+def test_convert_tool_onnx_gated(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "tools/convert_onnx.py", "--onnx", "missing.onnx",
+         "--out", str(tmp_path / "x.npz")],
+        capture_output=True, text=True,
+    )
+    assert res.returncode != 0
+    assert "onnx" in (res.stderr + res.stdout)
+
+
+def test_async_tracker_dataset_helper():
+    from foundationpose_cpp_tpu import create_foundationpose_model
+    from foundationpose_cpp_tpu.config import FoundationPoseConfig
+    from foundationpose_cpp_tpu.meshio import procedural
+    from foundationpose_cpp_tpu.pipeline.async_tracker import track_dataset
+    from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+    from foundationpose_cpp_tpu.utils import synthetic
+
+    cfg = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
+    net_cfg = networks.NetConfig(
+        stem_channels=(8, 16, 32), trunk_channels=64,
+        num_transformer_blocks=1, num_heads=4, crop_hw=32,
+    )
+    K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], np.float32)
+    cube = procedural.textured_cube(size=0.1)
+    mesh = MeshConstants.from_asset(cube)
+    pose = synthetic.default_pose(0.5)
+    rgb, depth, _ = synthetic.render_scene(mesh, pose, K, 120, 160, cfg)
+    model = create_foundationpose_model(
+        networks.init_refiner(0, net_cfg), networks.init_scorer(1, net_cfg),
+        [cube], K, 120, 160, config=cfg, net_config=net_cfg,
+    )
+    poses = track_dataset(model, "cube", [(rgb, depth)] * 3, pose)
+    assert len(poses) == 3
+    assert all(p.shape == (4, 4) for p in poses)
+
+
+@pytest.mark.skipif(
+    __import__("foundationpose_cpp_tpu.native", fromlist=["load_library"]).load_library() is None,
+    reason="no C++ toolchain",
+)
+def test_async_tracker_ring_loop():
+    from foundationpose_cpp_tpu import create_foundationpose_model
+    from foundationpose_cpp_tpu.config import FoundationPoseConfig
+    from foundationpose_cpp_tpu.meshio import procedural
+    from foundationpose_cpp_tpu.pipeline.async_tracker import AsyncTracker
+    from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+    from foundationpose_cpp_tpu.utils import synthetic
+
+    cfg = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
+    net_cfg = networks.NetConfig(
+        stem_channels=(8, 16, 32), trunk_channels=64,
+        num_transformer_blocks=1, num_heads=4, crop_hw=32,
+    )
+    K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], np.float32)
+    cube = procedural.textured_cube(size=0.1)
+    mesh = MeshConstants.from_asset(cube)
+    pose = synthetic.default_pose(0.5)
+    rgb, depth, _ = synthetic.render_scene(mesh, pose, K, 120, 160, cfg)
+    model = create_foundationpose_model(
+        networks.init_refiner(0, net_cfg), networks.init_scorer(1, net_cfg),
+        [cube], K, 120, 160, config=cfg, net_config=net_cfg,
+    )
+    tracker = AsyncTracker(model, "cube", (120, 160), capacity=2)
+    for _ in range(4):
+        tracker.push_frame(rgb, depth)
+    records = tracker.run(pose, max_frames=1)
+    assert len(records) == 1
+    assert records[0].pose.shape == (4, 4)
+    assert records[0].skipped_frames >= 1  # newest-frame policy skipped stale
+    tracker.close()
