@@ -30,7 +30,6 @@ def main() -> None:
     from foundationpose_cpp_tpu import FoundationPoseConfig, networks
     from foundationpose_cpp_tpu.geometry import icosphere
     from foundationpose_cpp_tpu.meshio import procedural
-    from foundationpose_cpp_tpu.ops.rasterize_pallas import rasterize_tpu
     from foundationpose_cpp_tpu.pipeline.foundationpose import (
         register_step,
         track_step,
@@ -55,7 +54,7 @@ def main() -> None:
     params_r = networks.init_refiner(0, net_cfg)
     params_s = networks.init_scorer(1, net_cfg)
     rot_grid = jnp.asarray(icosphere.make_rotation_grid())
-    raster = rasterize_tpu if on_tpu else None
+    use_fused = on_tpu  # fused megakernel on TPU; exact unfused path elsewhere
 
     # ---- Track: sequential scan, pose feeds forward (reference: 5000 reps)
     track_iters = 256
@@ -63,10 +62,12 @@ def main() -> None:
     @jax.jit
     def track_loop(params_r, rgb, depth, pose0):
         def body(pose, _):
-            pose, rgb_b = jax.lax.optimization_barrier((pose, rgb))
+            pose, rgb_b, depth_b = jax.lax.optimization_barrier(
+                (pose, rgb, depth)
+            )
             poses = track_step(
-                mesh, params_r, rgb_b, depth, pose[None], Kj, 1, cfg, net_cfg,
-                raster,
+                mesh, params_r, rgb_b, depth_b, pose[None], Kj, 1, cfg,
+                net_cfg, use_fused=use_fused,
             )
             return poses[0], None
 
@@ -85,25 +86,34 @@ def main() -> None:
     # ---- Register: repeated scan (reference: 50 reps of the same frame)
     reg_iters = 8
 
+    # Hoisting honesty: optimization_barrier is elementwise (tuple elements
+    # do not entangle), so loop-invariant inputs still hoist -- a barriered
+    # same-frame loop measured 8x too fast because XLA computed the renders
+    # once. Feeding the scan STACKED distinct copies as xs makes every
+    # iteration's inputs iteration-dependent by construction.
+    rgbs = jnp.stack([rgb] * reg_iters)
+    depths = jnp.stack([depth] * reg_iters)
+    masks = jnp.stack([mask] * reg_iters)
+
     @jax.jit
-    def register_loop(params_r, params_s, rgb, depth, mask, rot_grid):
-        def body(carry, _):
-            rgb_b, _ = jax.lax.optimization_barrier((rgb, carry))
+    def register_loop(params_r, params_s, rgbs, depths, masks, rot_grid):
+        def body(carry, xs):
+            rgb_t, depth_t, mask_t = xs
             best, _, scores, ok = register_step(
-                mesh, params_r, params_s, rgb_b, depth, mask, rot_grid, Kj,
-                1, cfg, net_cfg, raster,
+                mesh, params_r, params_s, rgb_t, depth_t, mask_t, rot_grid,
+                Kj, 1, cfg, net_cfg, use_fused=use_fused,
             )
             return best, None
 
         best, _ = jax.lax.scan(
-            body, jnp.eye(4, dtype=jnp.float32), None, length=reg_iters
+            body, jnp.eye(4, dtype=jnp.float32), (rgbs, depths, masks)
         )
         return best
 
-    out = register_loop(params_r, params_s, rgb, depth, mask, rot_grid)
+    out = register_loop(params_r, params_s, rgbs, depths, masks, rot_grid)
     _ = np.asarray(out)
     t0 = time.perf_counter()
-    out = register_loop(params_r, params_s, rgb, depth, mask, rot_grid)
+    out = register_loop(params_r, params_s, rgbs, depths, masks, rot_grid)
     _ = np.asarray(out)
     reg_dt = time.perf_counter() - t0
     register_fps = reg_iters / reg_dt

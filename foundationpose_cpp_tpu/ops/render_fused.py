@@ -61,6 +61,7 @@ _BIG = 2**30
 TILE_H = 32
 TILE_W = 32
 LANES = TILE_H * TILE_W  # 1024
+QS = 256  # lanes per 16x16 quadrant (quadrant-major lane layout)
 
 
 def sample_texture_at_uv(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -140,6 +141,7 @@ def _fused_kernel(
     coeff_ref,  # (1, F_pad, 16) VMEM: [a0(3) a1(3) a2(3) zwplane(3) pad]
     attr_ref,  # (1, F_pad, 24) VMEM: corners x [r g b x y z d pad]
     bits_ref,  # (1, n_tiles, W32) SMEM i32: chunk-overlap bitmask per tile
+    cbb_ref,  # (1, n_chunks, 4) SMEM f32: chunk bboxes [y0 y1 x0 x1]
     trans_ref,  # (1, 1, 8) SMEM: [tx ty tz 0 0 0 0 0]
     out_ref,  # (1, 1, 1, 8, LANES) VMEM
     state_f_ref,  # (16, LANES) f32 VMEM scratch
@@ -155,6 +157,7 @@ def _fused_kernel(
     min_depth,
     max_depth,
     inv_downscale,
+    debug_phase1_only=False,
 ):
     """All control flow is STATIC fori + @pl.when (see module docstring);
     pixel state lives in VMEM scratch because predicated bodies cannot carry
@@ -162,9 +165,17 @@ def _fused_kernel(
     ty = pl.program_id(1)
     tx = pl.program_id(2)
 
+    # QUADRANT-MAJOR lane layout: lane = q*QS + r16*16 + c16 with quadrant
+    # q = qy*2 + qx of the 32x32 tile. Contiguous 256-lane slices are then
+    # 16x16 pixel quadrants, so per-chunk bbox tests can skip 3/4 of the
+    # tile's pixels for the typical small chunk (the host untile inverts
+    # this layout).
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    py = ty * TILE_H + lane // TILE_W
-    px = tx * TILE_W + lane % TILE_W
+    q_id = lane // QS
+    r16 = (lane % QS) // 16
+    c16 = lane % 16
+    py = ty * TILE_H + (q_id // 2) * 16 + r16
+    px = tx * TILE_W + (q_id % 2) * 16 + c16
     fy = (2.0 * py.astype(jnp.float32) + 1.0) / img_h - 1.0
     fx = (2.0 * px.astype(jnp.float32) + 1.0) / img_w - 1.0
 
@@ -184,33 +195,76 @@ def _fused_kernel(
     state_f_ref[0:1] = jnp.full((1, LANES), jnp.inf, jnp.float32)
     state_i_ref[0:1] = jnp.full((1, LANES), _BIG, jnp.int32)
 
+    # basis rows (fx, fy, 1) for evaluating affine quantities via MXU dots
+    basis = jnp.concatenate([fx, fy, jnp.ones((1, LANES), jnp.float32)], axis=0)
+
+    def affine_eval(cf, lo_col):  # (chunk, 16) x 3 coeff cols -> (chunk, LANES)
+        return jax.lax.dot_general(
+            cf[:, lo_col : lo_col + 3], basis,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     # ---- phase 1: nearest-depth winner per pixel --------------------------
+    def depth_chunk_quadrant(ci, cf, qs):
+        # the 3 edge functions + z/w plane as K=3 MXU matmuls over one
+        # quadrant's lanes; the VPU keeps only the coverage/min logic.
+        # Invalid/degenerate faces were given zero edge coefficients + an
+        # out-of-range plane in the prepass, so no per-pixel degeneracy
+        # guard is needed here.
+        bq = basis[:, qs : qs + QS]
+
+        def ev(lo_col):
+            return jax.lax.dot_general(
+                cf[:, lo_col : lo_col + 3], bq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        a0 = ev(0)
+        a1 = ev(3)
+        a2 = ev(6)
+        zw = ev(9)
+        covered = ((a0 >= 0) & (a1 >= 0) & (a2 >= 0)) | (
+            (a0 <= 0) & (a1 <= 0) & (a2 <= 0)
+        )
+        covered &= (zw >= -1.0) & (zw <= 1.0)
+        zw = jnp.where(covered, zw, jnp.inf)
+        local_zw = jnp.min(zw, axis=0, keepdims=True)
+        pos_c = jax.lax.broadcasted_iota(jnp.int32, zw.shape, 0) + ci * chunk
+        local_pos = jnp.min(
+            jnp.where((zw == local_zw) & (local_zw < jnp.inf), pos_c, _BIG),
+            axis=0,
+            keepdims=True,
+        )
+        best_zw = state_f_ref[0:1, qs : qs + QS]
+        best_pos = state_i_ref[0:1, qs : qs + QS]
+        take = (local_zw < best_zw) | (
+            (local_zw == best_zw) & (local_pos < best_pos)
+        )
+        state_f_ref[0:1, qs : qs + QS] = jnp.where(take, local_zw, best_zw)
+        state_i_ref[0:1, qs : qs + QS] = jnp.where(take, local_pos, best_pos)
+
     def depth_body(ci, carry):
         @pl.when(chunk_live(ci))
         def _():
             cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
-            a0, a1, a2 = edges(cf)
-            covered = ((a0 >= 0) & (a1 >= 0) & (a2 >= 0)) | (
-                (a0 <= 0) & (a1 <= 0) & (a2 <= 0)
-            )
-            covered &= (a0 + a1 + a2) != 0.0
-            zw = cf[:, 9:10] * fx + cf[:, 10:11] * fy + cf[:, 11:12]
-            covered &= (zw >= -1.0) & (zw <= 1.0)
-            zw = jnp.where(covered, zw, jnp.inf)
-            local_zw = jnp.min(zw, axis=0, keepdims=True)
-            pos_c = jax.lax.broadcasted_iota(jnp.int32, zw.shape, 0) + ci * chunk
-            local_pos = jnp.min(
-                jnp.where((zw == local_zw) & (local_zw < jnp.inf), pos_c, _BIG),
-                axis=0,
-                keepdims=True,
-            )
-            best_zw = state_f_ref[0:1]
-            best_pos = state_i_ref[0:1]
-            take = (local_zw < best_zw) | (
-                (local_zw == best_zw) & (local_pos < best_pos)
-            )
-            state_f_ref[0:1] = jnp.where(take, local_zw, best_zw)
-            state_i_ref[0:1] = jnp.where(take, local_pos, best_pos)
+            cy0 = cbb_ref[0, ci, 0]
+            cy1 = cbb_ref[0, ci, 1]
+            cx0 = cbb_ref[0, ci, 2]
+            cx1 = cbb_ref[0, ci, 3]
+            for q in range(4):
+                qy, qx = q // 2, q % 2
+                y0q = (ty * TILE_H + qy * 16).astype(jnp.float32)
+                x0q = (tx * TILE_W + qx * 16).astype(jnp.float32)
+                hit = (
+                    (cy0 <= y0q + 15.0) & (cy1 >= y0q)
+                    & (cx0 <= x0q + 15.0) & (cx1 >= x0q)
+                )
+
+                @pl.when(hit)
+                def _(q=q):
+                    depth_chunk_quadrant(ci, cf, q * QS)
 
         return carry
 
@@ -227,51 +281,57 @@ def _fused_kernel(
     fg_mask = best_pos < _BIG
     smin = jnp.min(jnp.where(fg_mask, best_pos, _BIG))
     smax = jnp.max(jnp.where(fg_mask, best_pos, -1))
-    sub = max(chunk // 4, 8)  # fine extraction granularity
-    n_sub = chunk // sub
-
-    def attr_sub(lo):
-        cf = coeff_ref[0, pl.ds(lo, sub), :]
-        at = attr_ref[0, pl.ds(lo, sub), :]
-        a0, a1, a2 = edges(cf)
-        pos_c = jax.lax.broadcasted_iota(jnp.int32, a0.shape, 0) + lo
-        mf = (pos_c == best_pos).astype(jnp.float32)
-
-        def sel(vals):  # (sub, LANES) or (sub, 1) -> (1, LANES)
-            return jnp.sum(mf * vals, axis=0, keepdims=True)
-
-        sa0 = sel(a0)
-        sa1 = sel(a1)
-        ssum = sa0 + sa1 + sel(a2)
-        iw = jnp.where(ssum != 0.0, 1.0 / jnp.where(ssum == 0.0, 1.0, ssum), 0.0)
-        b0 = sa0 * iw
-        b1 = sa1 * iw
-        b2 = 1.0 - b0 - b1
-
-        hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
-        rows = [
-            b0 * sel(at[:, 0 + c : 0 + c + 1])
-            + b1 * sel(at[:, 8 + c : 8 + c + 1])
-            + b2 * sel(at[:, 16 + c : 16 + c + 1])
-            for c in range(7)  # r g b x y z d
-        ]
-        prev = state_f_ref[1:9]
-        update = jnp.concatenate(
-            rows + [jnp.ones((1, LANES), jnp.float32)], axis=0
-        )
-        state_f_ref[1:9] = prev + update * hit
 
     def attr_body(ci, carry):
         lo = ci * chunk
 
-        @pl.when((smin < lo + chunk) & (smax >= lo))
+        @pl.when(
+            jnp.logical_not(debug_phase1_only)
+            & (smin < lo + chunk) & (smax >= lo)
+        )
         def _():
-            for s in range(n_sub):
-                slo = lo + s * sub
+            # Everything a pixel needs from its winner is a PER-FACE scalar:
+            # 9 edge coefficients + 3 z/w plane coefficients + 21 corner
+            # attributes. One one-hot matmul on the MXU extracts all of them
+            # at once -- the previous formulation did ~25 separate masked
+            # vector reduces per subchunk and dominated the kernel (226 of
+            # 356 ms measured).
+            cf = coeff_ref[0, pl.ds(lo, chunk), :]  # (chunk, 16)
+            at = attr_ref[0, pl.ds(lo, chunk), :]  # (chunk, 24)
+            table = jnp.concatenate([cf, at], axis=1)  # (chunk, 40)
+            pos_c = (
+                jax.lax.broadcasted_iota(jnp.int32, (chunk, LANES), 0) + lo
+            )
+            mf = (pos_c == best_pos).astype(jnp.float32)  # one-hot per pixel
+            ext = jax.lax.dot_general(
+                table, mf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (40, LANES): winner's scalars per pixel (0 where no winner)
 
-                @pl.when((smin < slo + sub) & (smax >= slo))
-                def _():
-                    attr_sub(slo)
+            sa0 = ext[0:1] * fx + ext[1:2] * fy + ext[2:3]
+            sa1 = ext[3:4] * fx + ext[4:5] * fy + ext[5:6]
+            sa2 = ext[6:7] * fx + ext[7:8] * fy + ext[8:9]
+            ssum = sa0 + sa1 + sa2
+            iw = jnp.where(
+                ssum != 0.0, 1.0 / jnp.where(ssum == 0.0, 1.0, ssum), 0.0
+            )
+            b0 = sa0 * iw
+            b1 = sa1 * iw
+            b2 = 1.0 - b0 - b1
+
+            hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
+            rows = [
+                b0 * ext[16 + c : 17 + c]
+                + b1 * ext[24 + c : 25 + c]
+                + b2 * ext[32 + c : 33 + c]
+                for c in range(7)  # r g b x y z d
+            ]
+            prev = state_f_ref[1:9]
+            update = jnp.concatenate(
+                rows + [jnp.ones((1, LANES), jnp.float32)], axis=0
+            )
+            state_f_ref[1:9] = prev + update * hit
 
         return carry
 
@@ -309,7 +369,7 @@ def _fused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "img_h", "img_w", "chunk", "interpret",
+        "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth",
     ),
 )
@@ -325,6 +385,7 @@ def render_views_fused(
     max_depth: float = 4.0,
     chunk: int = 128,
     interpret: bool = False,
+    debug_phase1_only: bool = False,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -436,8 +497,14 @@ def render_views_fused(
     onscreen = (x1 >= 0) & (x0 < img_w) & (y1 >= 0) & (y0 < img_h)
     valid &= onscreen
 
-    # invalid faces: zero edge coefficients (never covered) + empty bbox
+    # invalid faces: zero edge coefficients + an out-of-range depth plane
+    # (zw=2 fails the [-1,1] window, so the kernel needs no degeneracy
+    # guard even though zeroed edges alone would read as "covered"),
+    # plus an empty bbox so their chunks cull away
     edge_planes = [jnp.where(valid, p, 0.0) for p in edge_planes]
+    alpha = jnp.where(valid, alpha, 0.0)
+    beta = jnp.where(valid, beta, 0.0)
+    gamma = jnp.where(valid, gamma, 2.0)
     inf = jnp.float32(jnp.inf)
     x0 = jnp.where(valid, x0, inf)
     y0 = jnp.where(valid, y0, inf)
@@ -455,8 +522,10 @@ def render_views_fused(
     f_pad = f + pad_f
     n_chunks = f_pad // chunk
 
+    # pad faces must also carry the out-of-range depth plane (gamma=2), or
+    # their all-zero edge functions read as covered at zw=0
     coeff_planes = [padf(p) for p in edge_planes] + [
-        padf(alpha), padf(beta), padf(gamma),
+        padf(alpha), padf(beta), padf(gamma, 2.0),
     ]
     zeros = jnp.zeros((n, f_pad), jnp.float32)
     coeff_planes += [zeros] * 4  # pad to 16
@@ -515,13 +584,16 @@ def render_views_fused(
         min_depth=min_depth,
         max_depth=max_depth,
         inv_downscale=2.0 / tables.diameter,
+        debug_phase1_only=debug_phase1_only,
     )
+
+    cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)
 
     def run_group(args):
         """Pack the lane-padded kernel tables for a view GROUP only: the
         (G, F_pad, 16/24) inputs are padded 16/24 -> 128 lanes in HBM, so
         the whole 252-view batch at once would be ~1.5 GB of pure padding."""
-        coeff_g, attr_g, bits_g, trans_g = args
+        coeff_g, attr_g, bits_g, cbb_g, trans_g = args
         g = coeff_g.shape[1]
         coeffs_packed = coeff_g.transpose(1, 2, 0)  # (G, F_pad, 16)
         attrs_packed = attr_g.transpose(1, 2, 0)  # (G, F_pad, 24)
@@ -534,6 +606,8 @@ def render_views_fused(
                 pl.BlockSpec((1, f_pad, 24), lambda i, t, u: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n_tiles, w32), lambda i, t, u: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_chunks, 4), lambda i, t, u: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 8), lambda i, t, u: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -550,7 +624,7 @@ def render_views_fused(
                 pltpu.VMEM((8, LANES), jnp.int32),
             ],
             interpret=interpret,
-        )(coeffs_packed, attrs_packed, bits_g, trans_g)
+        )(coeffs_packed, attrs_packed, bits_g, cbb_g, trans_g)
 
     group = max(1, min(n, (192 * 1024 * 1024) // (f_pad * 128 * 4 * 2)))
     pad_n = (-n) % group
@@ -568,13 +642,14 @@ def render_views_fused(
             coeff_stack.reshape(16, n_groups, group, f_pad).transpose(1, 0, 2, 3),
             attr_stack.reshape(24, n_groups, group, f_pad).transpose(1, 0, 2, 3),
             padn(bits).reshape(n_groups, group, n_tiles, w32),
+            padn(cbb).reshape(n_groups, group, n_chunks, 4),
             padn(trans).reshape(n_groups, group, 1, 8),
         ),
     )  # (n_groups, G, TY, TX, 8, LANES)
     out = out.reshape(n_pad, n_ty, n_tx, 8, LANES)[:n]
 
-    # untile: (N, TY, TX, 8ch, TH*TW) -> (N, H, W, 8) -> flip -> 6 channels
-    out = out.reshape(n, n_ty, n_tx, 8, TILE_H, TILE_W)
-    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(n, img_h, img_w, 8)
+    # untile quadrant-major lanes: lane = ((qy*2+qx)*16 + r16)*16 + c16
+    out = out.reshape(n, n_ty, n_tx, 8, 2, 2, 16, 16)  # (..., qy, qx, r, c)
+    out = out.transpose(0, 1, 4, 6, 2, 5, 7, 3).reshape(n, img_h, img_w, 8)
     out = out[:, ::-1, :, :6]  # vertical flip (GL y-up -> image y-down)
     return out
