@@ -25,6 +25,7 @@ def render_scene(
     w: int,
     cfg: FoundationPoseConfig = FoundationPoseConfig(),
     background_depth: float = 0.0,
+    rasterize_fn=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Render (rgb u8, depth f32, mask u8) of `mesh` at `pose` (full frame).
 
@@ -36,7 +37,14 @@ def render_scene(
     bbox2d = jnp.asarray([[0.0, 0.0, float(w), float(h)]], dtype=jnp.float32)
     clip_mat = transforms.pose_clip_matrix(poses, bbox2d, Kj, h, w, cfg.znear, cfg.zfar)
     clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)
-    rast = ras.rasterize(clip, mesh.faces, h, w, face_valid=mesh.face_valid)
+    import jax
+
+    if rasterize_fn is None and jax.default_backend() == "tpu":
+        from foundationpose_cpp_tpu.ops.rasterize_pallas import rasterize_tpu
+
+        rasterize_fn = rasterize_tpu  # full-frame XLA scan path is slow on TPU
+    rasterizer = rasterize_fn if rasterize_fn is not None else ras.rasterize
+    rast = rasterizer(clip, mesh.faces, h, w, face_valid=mesh.face_valid)
 
     pts_cam = transforms.transform_points(poses, mesh.vertices)
     xyz = ras.interpolate_attributes(pts_cam, rast, mesh.faces)
