@@ -165,3 +165,31 @@ def test_async_tracker_ring_loop():
     assert records[0].pose.shape == (4, 4)
     assert records[0].skipped_frames >= 1  # newest-frame policy skipped stale
     tracker.close()
+
+
+def test_dataset_io_helpers(tmp_path):
+    """utils.io reads the reference mustard0 layout (u16 mm depth, BGR->RGB)."""
+    from PIL import Image
+
+    from foundationpose_cpp_tpu.utils import io as fio
+
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    (tmp_path / "masks").mkdir()
+    np.savetxt(tmp_path / "cam_K.txt",
+               np.array([[600, 0, 320], [0, 600, 240], [0, 0, 1.0]]))
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "rgb" / "000001.png")
+    depth_mm = rng.uniform(400, 800, (48, 64)).astype(np.uint16)
+    Image.fromarray(depth_mm).save(tmp_path / "depth" / "000001.png")
+    mask = (rng.uniform(size=(48, 64)) > 0.5).astype(np.uint8) * 255
+    Image.fromarray(mask).save(tmp_path / "masks" / "000001.png")
+
+    K = fio.read_cam_k(str(tmp_path / "cam_K.txt"))
+    assert K.shape == (3, 3) and K[0, 0] == 600
+    r, d, m = fio.read_frame(str(tmp_path), "000001", with_mask=True)
+    np.testing.assert_array_equal(r, rgb)
+    np.testing.assert_allclose(d, depth_mm.astype(np.float32) / 1000, atol=1e-6)
+    assert set(np.unique(m)) <= {0, 255}
+    assert fio.list_frame_ids(str(tmp_path)) == ["000001"]
