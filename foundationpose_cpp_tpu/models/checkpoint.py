@@ -9,10 +9,8 @@ the executable side.
 from __future__ import annotations
 
 import json
-import pathlib
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

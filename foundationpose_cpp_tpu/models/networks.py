@@ -23,7 +23,6 @@ keeps shapes/dtypes/flops honest for benchmarking.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import Any
 

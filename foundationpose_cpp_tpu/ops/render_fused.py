@@ -626,7 +626,12 @@ def render_views_fused(
             interpret=interpret,
         )(coeffs_packed, attrs_packed, bits_g, cbb_g, trans_g)
 
-    group = max(1, min(n, (192 * 1024 * 1024) // (f_pad * 128 * 4 * 2)))
+    # view-group size: bound the lane-padded table memory, then shrink the
+    # group so it divides N as evenly as possible (group=31 for N=252 would
+    # pad to 310 views -- 23% of the kernel time spent rendering padding)
+    group_max = max(1, min(n, (192 * 1024 * 1024) // (f_pad * 128 * 4 * 2)))
+    n_groups_min = -(-n // group_max)
+    group = -(-n // n_groups_min)
     pad_n = (-n) % group
     n_pad = n + pad_n
 

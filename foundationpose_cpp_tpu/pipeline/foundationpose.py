@@ -27,7 +27,6 @@ once per new camera geometry.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
