@@ -93,7 +93,7 @@ def load_library() -> ctypes.CDLL | None:
 def parse_obj_native(path: str):
     """Parse an OBJ with the C++ parser.
 
-    Returns (positions (V,3), normals (V,3)|None, uvs (V,2)|None,
+    Returns (positions (V,3), uvs (V,2)|None, normals (V,3)|None,
     faces (F,3), texture_path|None) or None if unavailable/failed.
     """
     lib = load_library()
