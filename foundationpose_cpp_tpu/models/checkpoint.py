@@ -22,9 +22,24 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{_SEP}{k}" if prefix else str(k)))
+    elif isinstance(tree, (list, tuple)):
+        # list nodes (e.g. transformer layer stacks) keyed as '#<index>'
+        for i, v in enumerate(tree):
+            k = f"#{i}"
+            out.update(_flatten(v, f"{prefix}{_SEP}{k}" if prefix else k))
     else:
         out[prefix] = np.asarray(tree)
     return out
+
+
+def _listify(node: Any) -> Any:
+    """Convert dict nodes whose keys are all '#<i>' back into lists."""
+    if not isinstance(node, dict):
+        return node
+    node = {k: _listify(v) for k, v in node.items()}
+    if node and all(k.startswith("#") for k in node):
+        return [node[f"#{i}"] for i in range(len(node))]
+    return node
 
 
 def save_params(params: Any, path: str) -> None:
@@ -59,7 +74,7 @@ def load_params(path: str) -> Any:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(arr)
-    return tree
+    return _listify(tree)
 
 
 def params_fingerprint(params: Any) -> str:

@@ -1,23 +1,49 @@
-"""Refiner / scorer networks: bf16 XLA forward passes.
+"""Refiner / scorer networks: the published FoundationPose graphs in JAX.
 
 The reference treats both nets as opaque ONNX->TensorRT engines with a fixed
-blob contract (SURVEY.md SS2.8, tools/cvt_onnx2trt.bash:3-15):
+blob contract (SURVEY.md SS2.8, /root/reference/tools/cvt_onnx2trt.bash:3-15,
+blob names /root/reference/detection_6d_foundationpose/src/foundationpose.cpp:78-83):
 
   refiner: render_input, transf_input [N,160,160,6] NHWC -> trans [N,3], rot [N,3]
   scorer:  render_input, transf_input [N,160,160,6] NHWC -> scores [N,1]
 
-This module implements that contract natively: a siamese CNN encoder over the
-two 6-channel crops, feature concat, a small pre-norm transformer over the
-spatial tokens, and per-task heads -- the FoundationPose-style
-render-and-compare architecture, expressed as plain functional JAX (params
-pytree + pure apply) so the pipeline can inline it into one compiled Register
-program. Compute is bf16 on the MXU; heads accumulate and emit f32.
+Those engines are exports of NVIDIA FoundationPose's ``RefineNet`` and
+``ScoreNetMultiPair`` (NVlabs/FoundationPose ``learning/models/
+{refine_network,score_network}.py``). This module implements that topology
+layer-for-layer, TPU-first:
 
-Weights for the published FoundationPose checkpoints are converted with
-tools/convert_onnx.py when the ONNX files (Google Drive distribution,
-reference README.md:72) and the `onnx` package are available; otherwise the
-nets run with seeded random weights, which exercises every code path and
-keeps shapes/dtypes/flops honest for benchmarking.
+  encodeA  (siamese, shared):  ConvBNReLU(6->64, 7x7, s2)
+                               ConvBNReLU(64->128, 3x3, s2)
+                               ResnetBasicBlock(128)
+  encodeAB (on concat A||B):   ResnetBasicBlock(256)
+                               ConvBNReLU(256->512, 3x3, s2)
+                               ResnetBasicBlock(512)
+  tokens:  (160/8)^2 = 400 spatial tokens of dim 512
+           + sinusoidal positional embedding (max_len 400)
+  encoder: 1x post-norm TransformerEncoderLayer (4 heads, FFN 512, ReLU)
+  pool:    mean over tokens
+  heads:   refiner Linear(512->3) x2 (trans, rot); scorer Linear(512->1)
+
+TPU-first choices (vs a torch translation):
+  * BatchNorm is FOLDED into the convolutions at weight-conversion time
+    (tools/convert_onnx.py) -- inference never pays a separate normalize,
+    and XLA fuses conv+bias+relu into single MXU-friendly fusions.
+  * Everything runs NHWC bf16 on the MXU with f32 accumulation
+    (``preferred_element_type``); heads emit f32.
+  * The two siamese encoder passes are one conv over a 2N batch (same trick
+    as torch.cat([A,B],0) in the original) so MXU tiles stay full.
+  * Params are a plain pytree + pure apply fn so the pipeline inlines both
+    nets into its single compiled Register program (no engine boundary).
+
+The scorer optionally carries the "MultiPair" cross-hypothesis attention
+(one more encoder layer over the N pooled features); the converter enables
+it when the checkpoint contains ``att_cross.*`` tensors.
+
+Weights come from the published FoundationPose checkpoints via
+tools/convert_onnx.py (torch .pth or ONNX; distribution is out-of-band,
+reference README.md:72). Without them the nets run with seeded random
+weights of the exact same topology, which keeps shapes/dtypes/flops honest
+for benchmarking (~6.5 GMAC per hypothesis pair at 160x160).
 """
 
 from __future__ import annotations
@@ -35,21 +61,31 @@ Params = dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class NetConfig:
-    """Architecture knobs shared by refiner and scorer."""
+    """Published-graph dimensions (defaults) with toy-scale knobs for CI.
+
+    Defaults pin the NVlabs FoundationPose RefineNet/ScoreNetMultiPair
+    shapes; tests shrink width1/width2/embed_dim/crop_hw to run on CPU.
+    """
 
     in_channels: int = 6
-    stem_channels: tuple[int, ...] = (64, 128, 256)  # stride-2 stages
-    trunk_channels: int = 512  # after A||B concat + fuse conv (stride 2)
-    num_transformer_blocks: int = 4
-    num_heads: int = 8
-    mlp_ratio: float = 4.0
+    width1: int = 64        # encodeA conv1 (7x7, stride 2)
+    width2: int = 128       # encodeA conv2 (3x3, stride 2) + res block
+    embed_dim: int = 512    # encodeAB output channels / transformer d_model
+    num_heads: int = 4
+    ffn_dim: int = 512      # TransformerEncoderLayer dim_feedforward
+    num_encoder_layers: int = 1
     crop_hw: int = 160
+    cross_attention: bool = False  # scorer ScoreNetMultiPair att_cross
     dtype: Any = jnp.bfloat16
 
     @property
     def tokens_per_side(self) -> int:
-        # three stride-2 stages + one stride-2 fuse conv: 160 -> 10
-        return self.crop_hw // (2 ** (len(self.stem_channels) + 1))
+        # three stride-2 convs: crop_hw / 8 (160 -> 20; max_len 400 tokens)
+        return self.crop_hw // 8
+
+    @property
+    def num_tokens(self) -> int:
+        return self.tokens_per_side**2
 
 
 # ---------------------------------------------------------------------------
@@ -57,31 +93,53 @@ class NetConfig:
 
 
 def _conv(x, w, b, stride=1):
+    """NHWC conv + bias (BN pre-folded), f32 accumulation on the MXU.
+
+    Padding is torch-style symmetric (k-1)//2 -- NOT XLA "SAME", which pads
+    asymmetrically for stride 2 and would break weight parity with the
+    published checkpoints.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
     out = jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     return (out + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def _layer_norm(x, scale, bias, eps=1e-6):
+def _conv_relu(x, p, stride=1):
+    """ConvBNReLU (network_modules.py) with BN folded into (w, b)."""
+    return jax.nn.relu(_conv(x, p["w"], p["b"], stride=stride))
+
+
+def _res_block(x, p):
+    """ResnetBasicBlock (network_modules.py): conv-bn-relu-conv-bn + skip."""
+    h = jax.nn.relu(_conv(x, p["w1"], p["b1"]))
+    h = _conv(h, p["w2"], p["b2"])
+    return jax.nn.relu(x + h)
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    """torch.nn.LayerNorm semantics (eps 1e-5), f32 statistics."""
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale + bias).astype(x.dtype)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _linear(x, w, b):
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return (out + b).astype(x.dtype)
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (out + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def _attention(x, p, num_heads):
+def _self_attention(x, p, num_heads):
+    """torch.nn.MultiheadAttention forward (packed in_proj, scaled dot)."""
     n, t, d = x.shape
     hd = d // num_heads
     qkv = _linear(x, p["qkv_w"], p["qkv_b"])  # (N, T, 3D)
@@ -98,124 +156,147 @@ def _attention(x, p, num_heads):
     return _linear(out, p["proj_w"], p["proj_b"])
 
 
-def _transformer_block(x, p, num_heads):
-    x = x + _attention(_layer_norm(x, p["ln1_s"], p["ln1_b"]), p["attn"], num_heads)
-    h = _layer_norm(x, p["ln2_s"], p["ln2_b"])
-    h = _linear(h, p["mlp_w1"], p["mlp_b1"])
-    h = jax.nn.gelu(h)
+def _encoder_layer(x, p, num_heads):
+    """Post-norm (norm_first=False) TransformerEncoderLayer, ReLU FFN.
+
+    torch: x = norm1(x + attn(x)); x = norm2(x + linear2(relu(linear1(x))))
+    """
+    x = _layer_norm(x + _self_attention(x, p["attn"], num_heads), p["ln1_s"], p["ln1_b"])
+    h = jax.nn.relu(_linear(x, p["mlp_w1"], p["mlp_b1"]))
     h = _linear(h, p["mlp_w2"], p["mlp_b2"])
-    return x + h
+    return _layer_norm(x + h, p["ln2_s"], p["ln2_b"])
 
 
-def _res_block(x, p):
-    h = jax.nn.relu(_conv(x, p["w1"], p["b1"]))
-    h = _conv(h, p["w2"], p["b2"])
-    return jax.nn.relu(x + h)
+def sinusoidal_position_table(max_len: int, d_model: int) -> np.ndarray:
+    """The PositionalEmbedding buffer (network_modules.py): sin/cos table."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
-# init
+# init (random weights, exact published topology)
 
 
 def _init_conv(key, kh, kw, cin, cout, dtype):
-    wkey, _ = jax.random.split(key)
     fan_in = kh * kw * cin
-    w = jax.random.normal(wkey, (kh, kw, cin, cout), dtype=jnp.float32)
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype=jnp.float32)
     w = (w * math.sqrt(2.0 / fan_in)).astype(dtype)
-    return {"w": w, "b": jnp.zeros((cout,), dtype=dtype)}
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _init_res(key, ch, dtype):
+    k1, k2 = jax.random.split(key)
+    c1 = _init_conv(k1, 3, 3, ch, ch, dtype)
+    c2 = _init_conv(k2, 3, 3, ch, ch, dtype)
+    return {"w1": c1["w"], "b1": c1["b"], "w2": c2["w"], "b2": c2["b"]}
 
 
 def _init_linear(key, din, dout, dtype):
     w = jax.random.normal(key, (din, dout), dtype=jnp.float32)
     w = (w * math.sqrt(1.0 / din)).astype(dtype)
-    return w, jnp.zeros((dout,), dtype=jnp.float32)
+    return w, jnp.zeros((dout,), jnp.float32)
 
 
-def _init_block(key, dim, mlp_dim, dtype):
+def _init_encoder_layer(key, dim, ffn_dim, dtype):
     keys = jax.random.split(key, 4)
     qkv_w, qkv_b = _init_linear(keys[0], dim, 3 * dim, dtype)
     proj_w, proj_b = _init_linear(keys[1], dim, dim, dtype)
-    mlp_w1, mlp_b1 = _init_linear(keys[2], dim, mlp_dim, dtype)
-    mlp_w2, mlp_b2 = _init_linear(keys[3], mlp_dim, dim, dtype)
+    mlp_w1, mlp_b1 = _init_linear(keys[2], dim, ffn_dim, dtype)
+    mlp_w2, mlp_b2 = _init_linear(keys[3], ffn_dim, dim, dtype)
     ones = jnp.ones((dim,), jnp.float32)
     zeros = jnp.zeros((dim,), jnp.float32)
     return {
-        "ln1_s": ones, "ln1_b": zeros, "ln2_s": ones, "ln2_b": zeros,
         "attn": {"qkv_w": qkv_w, "qkv_b": qkv_b, "proj_w": proj_w, "proj_b": proj_b},
+        "ln1_s": ones, "ln1_b": zeros, "ln2_s": ones, "ln2_b": zeros,
         "mlp_w1": mlp_w1, "mlp_b1": mlp_b1, "mlp_w2": mlp_w2, "mlp_b2": mlp_b2,
     }
 
 
-def init_encoder(key, cfg: NetConfig) -> Params:
-    params: Params = {}
-    keys = jax.random.split(key, 2 * len(cfg.stem_channels) + 2)
-    cin = cfg.in_channels
-    for i, cout in enumerate(cfg.stem_channels):
-        ksize = 7 if i == 0 else 3
-        params[f"stem{i}"] = _init_conv(keys[2 * i], ksize, ksize, cin, cout, cfg.dtype)
-        res = {}
-        c1 = _init_conv(keys[2 * i + 1], 3, 3, cout, cout, cfg.dtype)
-        res["w1"], res["b1"] = c1["w"], c1["b"]
-        c2 = _init_conv(jax.random.fold_in(keys[2 * i + 1], 1), 3, 3, cout, cout, cfg.dtype)
-        res["w2"], res["b2"] = c2["w"], c2["b"]
-        params[f"res{i}"] = res
-        cin = cout
-    return params
-
-
-def apply_encoder(params: Params, x: jnp.ndarray, cfg: NetConfig) -> jnp.ndarray:
-    """(N, 160, 160, 6) -> (N, 20, 20, C_last)."""
-    h = x.astype(cfg.dtype)
-    for i in range(len(cfg.stem_channels)):
-        p = params[f"stem{i}"]
-        h = jax.nn.relu(_conv(h, p["w"], p["b"], stride=2))
-        h = _res_block(h, params[f"res{i}"])
-    return h
-
-
-def init_trunk(key, cfg: NetConfig, head_dims: dict[str, int]) -> Params:
-    keys = jax.random.split(key, cfg.num_transformer_blocks + 3 + len(head_dims))
+def _init_backbone(key, cfg: NetConfig, head_dims: dict[str, int],
+                   cross_attention: bool) -> Params:
+    keys = jax.random.split(key, 8 + cfg.num_encoder_layers + len(head_dims))
+    d = cfg.dtype
     params: Params = {
-        "fuse": _init_conv(
-            keys[0], 3, 3, 2 * cfg.stem_channels[-1], cfg.trunk_channels, cfg.dtype
+        # encodeA: ConvBNReLU(7,s2) -> ConvBNReLU(3,s2) -> ResnetBasicBlock
+        "encodeA": {
+            "conv0": _init_conv(keys[0], 7, 7, cfg.in_channels, cfg.width1, d),
+            "conv1": _init_conv(keys[1], 3, 3, cfg.width1, cfg.width2, d),
+            "res": _init_res(keys[2], cfg.width2, d),
+        },
+        # encodeAB: ResnetBasicBlock -> ConvBNReLU(3,s2) -> ResnetBasicBlock
+        "encodeAB": {
+            "res0": _init_res(keys[3], 2 * cfg.width2, d),
+            "conv": _init_conv(keys[4], 3, 3, 2 * cfg.width2, cfg.embed_dim, d),
+            "res1": _init_res(keys[5], cfg.embed_dim, d),
+        },
+        "pos_embed": jnp.asarray(
+            sinusoidal_position_table(cfg.num_tokens, cfg.embed_dim)
         ),
-        "pos_embed": (
-            jax.random.normal(
-                keys[1], (cfg.tokens_per_side**2, cfg.trunk_channels), jnp.float32
-            )
-            * 0.02
-        ).astype(cfg.dtype),
-        "ln_f_s": jnp.ones((cfg.trunk_channels,), jnp.float32),
-        "ln_f_b": jnp.zeros((cfg.trunk_channels,), jnp.float32),
+        "encoder": [
+            _init_encoder_layer(keys[6 + i], cfg.embed_dim, cfg.ffn_dim, d)
+            for i in range(cfg.num_encoder_layers)
+        ],
     }
-    mlp_dim = int(cfg.trunk_channels * cfg.mlp_ratio)
-    for i in range(cfg.num_transformer_blocks):
-        params[f"block{i}"] = _init_block(keys[2 + i], cfg.trunk_channels, mlp_dim, cfg.dtype)
-    for j, (name, dim) in enumerate(sorted(head_dims.items())):
-        w, b = _init_linear(
-            keys[2 + cfg.num_transformer_blocks + j], cfg.trunk_channels, dim, cfg.dtype
+    off = 6 + cfg.num_encoder_layers
+    if cross_attention:
+        params["att_cross"] = _init_encoder_layer(
+            keys[off], cfg.embed_dim, cfg.ffn_dim, d
         )
+    off += 1
+    for j, (name, dim) in enumerate(sorted(head_dims.items())):
+        w, b = _init_linear(keys[off + j], cfg.embed_dim, dim, d)
         params[f"head_{name}"] = {"w": w, "b": b}
     return params
 
 
-def apply_trunk(
+# ---------------------------------------------------------------------------
+# apply
+
+
+def apply_encoder(params: Params, x: jnp.ndarray, cfg: NetConfig) -> jnp.ndarray:
+    """encodeA: (M, crop, crop, 6) -> (M, crop/4, crop/4, width2)."""
+    p = params["encodeA"]
+    h = x.astype(cfg.dtype)
+    h = _conv_relu(h, p["conv0"], stride=2)
+    h = _conv_relu(h, p["conv1"], stride=2)
+    return _res_block(h, p["res"])
+
+
+def _apply_backbone(
     params: Params,
-    feat_a: jnp.ndarray,
-    feat_b: jnp.ndarray,
+    render_input: jnp.ndarray,
+    transf_input: jnp.ndarray,
     cfg: NetConfig,
     head_names: tuple[str, ...],
+    cross_attention: bool,
 ) -> dict[str, jnp.ndarray]:
-    """Fuse the two encoder maps, run the transformer, project heads (f32)."""
-    h = jnp.concatenate([feat_a, feat_b], axis=-1)
-    p = params["fuse"]
-    h = jax.nn.relu(_conv(h, p["w"], p["b"], stride=2))  # (N, 10, 10, D)
-    n, th, tw, d = h.shape
-    tokens = h.reshape(n, th * tw, d) + params["pos_embed"][None]
-    for i in range(cfg.num_transformer_blocks):
-        tokens = _transformer_block(tokens, params[f"block{i}"], cfg.num_heads)
-    tokens = _layer_norm(tokens, params["ln_f_s"], params["ln_f_b"])
-    pooled = tokens.mean(axis=1).astype(jnp.float32)  # (N, D)
+    n = render_input.shape[0]
+    # siamese encode over a 2N batch (torch.cat([A,B],0) in the original)
+    both = jnp.concatenate([render_input, transf_input], axis=0)
+    feats = apply_encoder(params, both, cfg)
+    ab = jnp.concatenate([feats[:n], feats[n:]], axis=-1)  # channel concat
+    p = params["encodeAB"]
+    ab = _res_block(ab, p["res0"])
+    ab = _conv_relu(ab, p["conv"], stride=2)
+    ab = _res_block(ab, p["res1"])  # (N, crop/8, crop/8, D)
+    _, th, tw, d = ab.shape
+    # torch flattens (H, W) channels-first then permutes: token t = y*W + x,
+    # identical to an NHWC reshape.
+    tokens = ab.reshape(n, th * tw, d) + params["pos_embed"][None].astype(cfg.dtype)
+    for layer in params["encoder"]:
+        tokens = _encoder_layer(tokens, layer, cfg.num_heads)
+    pooled = tokens.mean(axis=1)  # (N, D)
+    if cross_attention and "att_cross" in params:
+        # ScoreNetMultiPair: one encoder layer attending ACROSS the N
+        # hypotheses (sequence axis = pose batch).
+        pooled = _encoder_layer(pooled[None], params["att_cross"], cfg.num_heads)[0]
+    pooled = pooled.astype(jnp.float32)
     out = {}
     for name in head_names:
         hp = params[f"head_{name}"]
@@ -226,7 +307,7 @@ def apply_trunk(
 
 
 # ---------------------------------------------------------------------------
-# the two models
+# the two models (blob contract of foundationpose.cpp:78-83)
 
 
 REFINER_HEADS = {"trans": 3, "rot": 3}
@@ -234,21 +315,16 @@ SCORER_HEADS = {"scores": 1}
 
 
 def init_refiner(seed: int = 0, cfg: NetConfig = NetConfig()) -> Params:
-    key = jax.random.PRNGKey(seed)
-    k_enc, k_trunk = jax.random.split(key)
-    return {
-        "encoder": init_encoder(k_enc, cfg),
-        "trunk": init_trunk(k_trunk, cfg, REFINER_HEADS),
-    }
+    return _init_backbone(
+        jax.random.PRNGKey(seed), cfg, REFINER_HEADS, cross_attention=False
+    )
 
 
 def init_scorer(seed: int = 1, cfg: NetConfig = NetConfig()) -> Params:
-    key = jax.random.PRNGKey(seed)
-    k_enc, k_trunk = jax.random.split(key)
-    return {
-        "encoder": init_encoder(k_enc, cfg),
-        "trunk": init_trunk(k_trunk, cfg, SCORER_HEADS),
-    }
+    return _init_backbone(
+        jax.random.PRNGKey(seed), cfg, SCORER_HEADS,
+        cross_attention=cfg.cross_attention,
+    )
 
 
 def apply_refiner(
@@ -257,10 +333,16 @@ def apply_refiner(
     transf_input: jnp.ndarray,
     cfg: NetConfig = NetConfig(),
 ) -> dict[str, jnp.ndarray]:
-    """Blob contract: (N,160,160,6) x2 -> {'trans': (N,3), 'rot': (N,3)}."""
-    feat_a = apply_encoder(params["encoder"], render_input, cfg)
-    feat_b = apply_encoder(params["encoder"], transf_input, cfg)
-    return apply_trunk(params["trunk"], feat_a, feat_b, cfg, ("trans", "rot"))
+    """RefineNet: (N,160,160,6) x2 -> {'trans': (N,3), 'rot': (N,3)} (raw).
+
+    The tanh * 0.349 rot normalization happens in the pipeline's pose
+    composition (geometry/transforms.py), matching foundationpose.cpp:384-390
+    where it is applied OUTSIDE the engine.
+    """
+    return _apply_backbone(
+        params, render_input, transf_input, cfg, ("trans", "rot"),
+        cross_attention=False,
+    )
 
 
 def apply_scorer(
@@ -269,11 +351,35 @@ def apply_scorer(
     transf_input: jnp.ndarray,
     cfg: NetConfig = NetConfig(),
 ) -> dict[str, jnp.ndarray]:
-    """Blob contract: (N,160,160,6) x2 -> {'scores': (N,1)}."""
-    feat_a = apply_encoder(params["encoder"], render_input, cfg)
-    feat_b = apply_encoder(params["encoder"], transf_input, cfg)
-    return apply_trunk(params["trunk"], feat_a, feat_b, cfg, ("scores",))
+    """ScoreNet(MultiPair): (N,160,160,6) x2 -> {'scores': (N,1)} logits."""
+    return _apply_backbone(
+        params, render_input, transf_input, cfg, ("scores",),
+        cross_attention=cfg.cross_attention,
+    )
 
 
 def count_params(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def flops_per_pair(cfg: NetConfig = NetConfig()) -> int:
+    """MAC count per hypothesis pair (honesty check for bench numbers)."""
+    s1 = cfg.crop_hw // 2   # after conv0
+    s2 = cfg.crop_hw // 4   # after conv1 / res
+    s3 = cfg.crop_hw // 8   # after encodeAB conv
+    c1, c2, d = cfg.width1, cfg.width2, cfg.embed_dim
+    t = cfg.num_tokens
+    enc_a = (
+        s1 * s1 * c1 * 49 * cfg.in_channels
+        + s2 * s2 * c2 * 9 * c1
+        + 2 * s2 * s2 * c2 * 9 * c2
+    ) * 2  # two crops
+    enc_ab = (
+        2 * s2 * s2 * (2 * c2) * 9 * (2 * c2)
+        + s3 * s3 * d * 9 * (2 * c2)
+        + 2 * s3 * s3 * d * 9 * d
+    )
+    xf = cfg.num_encoder_layers * (
+        4 * t * d * d + 2 * t * t * d + 2 * t * d * cfg.ffn_dim
+    )
+    return enc_a + enc_ab + xf

@@ -11,8 +11,7 @@ from foundationpose_cpp_tpu.models import checkpoint, networks
 from foundationpose_cpp_tpu.utils import metrics, profiling
 
 CFG = networks.NetConfig(
-    stem_channels=(8, 16), trunk_channels=32, num_transformer_blocks=1,
-    num_heads=2, crop_hw=16,
+    width1=8, width2=16, embed_dim=32, num_heads=2, crop_hw=16,
 )
 
 
@@ -91,7 +90,7 @@ def test_convert_tool_init_mode(tmp_path):
     )
     assert res.returncode == 0, res.stderr
     loaded = checkpoint.load_params(str(out))
-    assert "encoder" in loaded and "trunk" in loaded
+    assert "encoder" in loaded and "encodeA" in loaded and "encodeAB" in loaded
 
 
 def test_convert_tool_onnx_gated(tmp_path):
@@ -114,8 +113,7 @@ def test_async_tracker_dataset_helper():
 
     cfg = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
     net_cfg = networks.NetConfig(
-        stem_channels=(8, 16, 32), trunk_channels=64,
-        num_transformer_blocks=1, num_heads=4, crop_hw=32,
+        width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
     )
     K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], np.float32)
     cube = procedural.textured_cube(size=0.1)
@@ -145,8 +143,7 @@ def test_async_tracker_ring_loop():
 
     cfg = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
     net_cfg = networks.NetConfig(
-        stem_channels=(8, 16, 32), trunk_channels=64,
-        num_transformer_blocks=1, num_heads=4, crop_hw=32,
+        width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
     )
     K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], np.float32)
     cube = procedural.textured_cube(size=0.1)

@@ -23,8 +23,7 @@ from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
 from foundationpose_cpp_tpu.utils import metrics, synthetic
 
 NET_CFG = networks.NetConfig(
-    stem_channels=(8, 16, 32), trunk_channels=64,
-    num_transformer_blocks=1, num_heads=4, crop_hw=32,
+    width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
 )
 CFG = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
 K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=np.float32)

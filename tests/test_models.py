@@ -7,11 +7,7 @@ import jax.numpy as jnp
 from foundationpose_cpp_tpu.models import infer_core, networks
 
 CFG = networks.NetConfig(
-    stem_channels=(8, 16, 32),
-    trunk_channels=64,
-    num_transformer_blocks=2,
-    num_heads=4,
-    crop_hw=32,
+    width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
 )
 
 
@@ -60,10 +56,16 @@ def test_batch_independence():
     np.testing.assert_allclose(full[1], solo[0], rtol=2e-2, atol=2e-3)
 
 
-def test_params_are_bf16():
+def test_param_dtype_policy():
+    """Matmul/conv weights live in bf16 (MXU); norms and biases in f32."""
     params = networks.init_refiner(0, CFG)
-    dtypes = {str(x.dtype) for x in jax.tree.leaves(params["encoder"])}
-    assert dtypes == {"bfloat16"}
+    layer = params["encoder"][0]
+    assert layer["attn"]["qkv_w"].dtype == jnp.bfloat16
+    assert layer["mlp_w1"].dtype == jnp.bfloat16
+    assert layer["ln1_s"].dtype == jnp.float32
+    assert layer["mlp_b1"].dtype == jnp.float32
+    assert params["encodeA"]["conv0"]["w"].dtype == jnp.bfloat16
+    assert params["encodeA"]["conv0"]["b"].dtype == jnp.float32
 
 
 def test_infer_core_bucketing():

@@ -24,11 +24,7 @@ from foundationpose_cpp_tpu.utils import synthetic
 
 # small-everything configuration so the 252-hypothesis register runs fast on CPU
 NET_CFG = networks.NetConfig(
-    stem_channels=(8, 16, 32),
-    trunk_channels=64,
-    num_transformer_blocks=1,
-    num_heads=4,
-    crop_hw=32,
+    width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
 )
 CFG = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
 K = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=np.float32)
@@ -38,7 +34,7 @@ H, W = 120, 160
 def _zero_heads(params):
     """Zero the head projections so refine deltas are exactly identity."""
     out = jax.tree.map(lambda x: x, params)  # copy structure
-    for name, p in out["trunk"].items():
+    for name, p in out.items():
         if name.startswith("head_"):
             p["w"] = jnp.zeros_like(p["w"])
             p["b"] = jnp.zeros_like(p["b"])
