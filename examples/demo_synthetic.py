@@ -25,22 +25,9 @@ from foundationpose_cpp_tpu.utils import synthetic
 
 def draw_3d_bbox(rgb, K, pose_bbox, dimension):
     """Project the 8 OBB corners and draw the 12 edges (help_func.hpp:54-106)."""
-    import cv2
+    from foundationpose_cpp_tpu.utils.viz import draw_3d_bbox as _draw
 
-    half = np.asarray(dimension) / 2.0
-    corners = np.array(
-        [[sx * half[0], sy * half[1], sz * half[2], 1.0]
-         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
-    )
-    cam = (pose_bbox @ corners.T).T[:, :3]
-    uv = (K @ cam.T).T
-    uv = (uv[:, :2] / uv[:, 2:3]).astype(int)
-    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7), (6, 7),
-             (0, 4), (1, 5), (2, 6), (3, 7)]
-    img = rgb.copy()
-    for a, b in edges:
-        cv2.line(img, tuple(uv[a]), tuple(uv[b]), (0, 255, 0), 2)
-    return img
+    return _draw(rgb, K, pose_bbox, dimension)
 
 
 def main() -> None:

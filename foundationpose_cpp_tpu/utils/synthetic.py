@@ -72,3 +72,73 @@ def default_pose(tz: float = 0.6) -> np.ndarray:
     pose[:3, :3] = Rotation.from_euler("xyz", [25, -15, 40], degrees=True).as_matrix()
     pose[:3, 3] = [0.02, -0.01, tz]
     return pose
+
+
+def write_obj(asset, path: str) -> None:
+    """Write a MeshAsset as a Wavefront OBJ (v/vt/vn + f v/vt/vn triplets)."""
+    lines = []
+    for v in asset.vertices:
+        lines.append(f"v {v[0]:.8f} {v[1]:.8f} {v[2]:.8f}")
+    for t in asset.texcoords:
+        lines.append(f"vt {t[0]:.8f} {t[1]:.8f}")
+    for n in asset.vertex_normals:
+        lines.append(f"vn {n[0]:.8f} {n[1]:.8f} {n[2]:.8f}")
+    for f in asset.faces:
+        a, b, c = (int(i) + 1 for i in f)
+        lines.append(f"f {a}/{a}/{a} {b}/{b}/{b} {c}/{c}/{c}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def write_mini_dataset(
+    root: str,
+    n_frames: int = 3,
+    h: int = 120,
+    w: int = 160,
+    cfg: FoundationPoseConfig | None = None,
+) -> np.ndarray:
+    """Write a tiny mustard0-layout dataset (reference test_data/download.md).
+
+    Renders a moving textured cube with the framework's own rasterizer and
+    writes rgb/, depth/ (16-bit mm), masks/, mesh/, cam_K.txt and
+    annotated_poses/. Returns the (3,3) intrinsics.
+    """
+    import pathlib
+
+    from foundationpose_cpp_tpu.meshio import procedural
+
+    cfg = cfg or FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
+    root_p = pathlib.Path(root)
+    for sub in ("rgb", "depth", "masks", "mesh", "annotated_poses"):
+        (root_p / sub).mkdir(parents=True, exist_ok=True)
+
+    K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]], np.float32)
+    np.savetxt(root_p / "cam_K.txt", K, fmt="%.6f")
+    cube = procedural.textured_cube(size=0.1)
+    write_obj(cube, str(root_p / "mesh" / "cube.obj"))
+    mesh = MeshConstants.from_asset(cube)
+
+    def _write_png(path, arr):
+        try:
+            import cv2
+
+            img = arr[..., ::-1] if arr.ndim == 3 else arr
+            assert cv2.imwrite(str(path), img)
+        except ImportError:
+            from PIL import Image
+
+            Image.fromarray(arr).save(path)
+
+    for i in range(n_frames):
+        pose = default_pose(tz=0.5 + 0.004 * i)
+        pose[0, 3] += 0.003 * i
+        fid = f"{i:06d}"
+        rgb, depth, mask = render_scene(mesh, pose, K, h, w, cfg)
+        _write_png(root_p / "rgb" / f"{fid}.png", rgb)
+        _write_png(
+            root_p / "depth" / f"{fid}.png",
+            np.round(depth * 1000.0).astype(np.uint16),
+        )
+        _write_png(root_p / "masks" / f"{fid}.png", mask)
+        np.savetxt(root_p / "annotated_poses" / f"{fid}.txt", pose, fmt="%.8f")
+    return K
