@@ -62,6 +62,11 @@ TILE_H = 32
 TILE_W = 32
 LANES = TILE_H * TILE_W  # 1024
 QS = 256  # lanes per 16x16 quadrant (quadrant-major lane layout)
+# phase-1 packed depth key: pos-in-chunk rides the low mantissa bits of
+# bitcast(z/w + 1.5); chunk size must stay 2**_POS_BITS
+_POS_BITS = 7
+_POS_MASK = (1 << _POS_BITS) - 1
+_BIG_I = 0x7F000000  # > any packed key (zw+1.5 in [0.5, 2.5]); fits int32
 
 
 def sample_texture_at_uv(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -99,27 +104,77 @@ def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+def _weld_positions(verts: np.ndarray) -> np.ndarray:
+    """Canonical vertex id per position (seam/pole duplicates welded)."""
+    key = np.round(np.asarray(verts, np.float64) * 1e6).astype(np.int64)
+    _, canon = np.unique(key, axis=0, return_inverse=True)
+    return canon
+
+
+def winding_consistent_closed(verts: np.ndarray, faces: np.ndarray) -> bool:
+    """True iff the mesh is watertight AND consistently wound.
+
+    Pure topology (no normals): after positional welding, every directed
+    edge must appear exactly once and its reverse exactly once. Under that
+    condition backfaces of the closed surface are always occluded, so
+    winding-based backface culling cannot change the rendered image.
+    """
+    canon = _weld_positions(verts)
+    f = canon[np.asarray(faces, np.int64)]
+    nd = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 2] != f[:, 0])
+    f = f[nd]
+    if f.shape[0] == 0:
+        return False
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    eid = (edges[:, 0] << 32) | edges[:, 1]
+    uniq, counts = np.unique(eid, return_counts=True)
+    if (counts != 1).any():
+        return False
+    rev = (edges[:, 1] << 32) | edges[:, 0]
+    return bool(np.isin(rev, uniq, assume_unique=False).all())
+
+
+def signed_volume(verts: np.ndarray, faces: np.ndarray) -> float:
+    fv = np.asarray(verts, np.float64)[faces]
+    return float(
+        np.einsum("fi,fi->f", fv[:, 0], np.cross(fv[:, 1], fv[:, 2])).sum() / 6.0
+    )
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["face_verts", "face_normals", "face_colors"],
-    meta_fields=["num_faces", "diameter"],
+    meta_fields=["num_faces", "diameter", "backface_cull_ok"],
 )
 @dataclasses.dataclass(frozen=True)
 class FusedMeshTables:
-    """Face-expanded, Morton-ordered mesh constants for the megakernel."""
+    """Face-expanded, Morton-ordered mesh constants for the megakernel.
+
+    backface_cull_ok records the build-time proof that winding-based
+    backface culling is output-identical for this mesh (watertight +
+    consistent winding, normalized to outward). The reference renders
+    double-sided (foundationpose_render.cu:201 setRenderModeFlags(0)), so
+    culling is only an optimization where it provably cannot change the
+    image -- the kernel skips ~half the faces of a closed mesh.
+    """
 
     face_verts: jnp.ndarray  # (F, 3, 3) centered corner positions
     face_normals: jnp.ndarray  # (F, 3, 3) corner normals
     face_colors: jnp.ndarray  # (F, 3, 3) texture sampled at corner UVs
     num_faces: int
     diameter: float
+    backface_cull_ok: bool = False
 
     @staticmethod
     def from_asset(asset: MeshAsset) -> "FusedMeshTables":
         centered = asset.vertices - asset.model_center[None, :]
-        fv = centered[asset.faces]  # (F, 3, 3)
+        faces0 = np.asarray(asset.faces)
+        cull_ok = winding_consistent_closed(centered, faces0)
+        if cull_ok and signed_volume(centered, faces0) < 0:
+            faces0 = faces0[:, ::-1]  # normalize to outward winding
+        fv = centered[faces0]  # (F, 3, 3)
         order = morton_order(fv.mean(axis=1))  # spatial locality for chunks
-        faces = asset.faces[order]
+        faces = faces0[order]
         fv = centered[faces]
         fn = asset.vertex_normals[faces]
         vcol = sample_texture_at_uv(asset.texture, asset.texcoords)
@@ -130,6 +185,7 @@ class FusedMeshTables:
             face_colors=jnp.asarray(fc, jnp.float32),
             num_faces=int(faces.shape[0]),
             diameter=float(asset.diameter),
+            backface_cull_ok=cull_ok,
         )
 
 
@@ -191,27 +247,32 @@ def _fused_kernel(
         a2 = cf[:, 6:7] * fx + cf[:, 7:8] * fy + cf[:, 8:9]
         return a0, a1, a2
 
-    # scratch rows: f[0]=best_zw, i[0]=best_pos, f[1..8]=chans+hit
-    state_f_ref[0:1] = jnp.full((1, LANES), jnp.inf, jnp.float32)
-    state_i_ref[0:1] = jnp.full((1, LANES), _BIG, jnp.int32)
+    # scratch rows: i[0]=packed depth|pos key, i[1]=winning chunk id
+    # Phase 1 is VPU-bandwidth-bound on (chunk, QS) temporaries, so the
+    # winner state is ONE packed int32 key per pixel: the low POS_BITS
+    # mantissa bits of (z/w + 1.5) are replaced by the face's position
+    # inside its chunk. f32 bit patterns of positives are order-isomorphic,
+    # so a single min-reduce yields the nearest-depth winner with
+    # lowest-pos tie-breaking (the old formulation needed two reduces plus
+    # an equality/tie cascade per visit -- measured ~2x the VPU work).
+    # Depth is quantized by 2^POS_BITS ulps (~3e-5 in zw units): winner
+    # flips only between near-coplanar faces, where either is correct.
+    state_i_ref[0:1] = jnp.full((1, LANES), _BIG_I, jnp.int32)
+    state_i_ref[1:2] = jnp.zeros((1, LANES), jnp.int32)
 
     # basis rows (fx, fy, 1) for evaluating affine quantities via MXU dots
     basis = jnp.concatenate([fx, fy, jnp.ones((1, LANES), jnp.float32)], axis=0)
 
-    def affine_eval(cf, lo_col):  # (chunk, 16) x 3 coeff cols -> (chunk, LANES)
-        return jax.lax.dot_general(
-            cf[:, lo_col : lo_col + 3], basis,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # pos-in-chunk iota, hoisted out of both loops (constant)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, QS), 0)
 
     # ---- phase 1: nearest-depth winner per pixel --------------------------
     def depth_chunk_quadrant(ci, cf, qs):
         # the 3 edge functions + z/w plane as K=3 MXU matmuls over one
-        # quadrant's lanes; the VPU keeps only the coverage/min logic.
-        # Invalid/degenerate faces were given zero edge coefficients + an
-        # out-of-range plane in the prepass, so no per-pixel degeneracy
-        # guard is needed here.
+        # quadrant's lanes; the VPU keeps only coverage + one min-reduce.
+        # Edges are orientation-normalized in the prepass (covered = all
+        # >= 0); invalid/degenerate faces carry zero edge coefficients +
+        # an out-of-range depth plane, so no degeneracy guard is needed.
         bq = basis[:, qs : qs + QS]
 
         def ev(lo_col):
@@ -225,25 +286,18 @@ def _fused_kernel(
         a1 = ev(3)
         a2 = ev(6)
         zw = ev(9)
-        covered = ((a0 >= 0) & (a1 >= 0) & (a2 >= 0)) | (
-            (a0 <= 0) & (a1 <= 0) & (a2 <= 0)
+        covered = (jnp.minimum(jnp.minimum(a0, a1), a2) >= 0) & (
+            jnp.abs(zw) <= 1.0
         )
-        covered &= (zw >= -1.0) & (zw <= 1.0)
-        zw = jnp.where(covered, zw, jnp.inf)
-        local_zw = jnp.min(zw, axis=0, keepdims=True)
-        pos_c = jax.lax.broadcasted_iota(jnp.int32, zw.shape, 0) + ci * chunk
-        local_pos = jnp.min(
-            jnp.where((zw == local_zw) & (local_zw < jnp.inf), pos_c, _BIG),
-            axis=0,
-            keepdims=True,
-        )
-        best_zw = state_f_ref[0:1, qs : qs + QS]
-        best_pos = state_i_ref[0:1, qs : qs + QS]
-        take = (local_zw < best_zw) | (
-            (local_zw == best_zw) & (local_pos < best_pos)
-        )
-        state_f_ref[0:1, qs : qs + QS] = jnp.where(take, local_zw, best_zw)
-        state_i_ref[0:1, qs : qs + QS] = jnp.where(take, local_pos, best_pos)
+        zbits = jax.lax.bitcast_convert_type(zw + 1.5, jnp.int32)
+        packed = (zbits & (~_POS_MASK)) + pos_iota
+        packed = jnp.where(covered, packed, _BIG_I)
+        local = jnp.min(packed, axis=0, keepdims=True)  # (1, QS)
+        best = state_i_ref[0:1, qs : qs + QS]
+        take = local < best
+        state_i_ref[0:1, qs : qs + QS] = jnp.where(take, local, best)
+        winc = state_i_ref[1:2, qs : qs + QS]
+        state_i_ref[1:2, qs : qs + QS] = jnp.where(take, ci, winc)
 
     def depth_body(ci, carry):
         @pl.when(chunk_live(ci))
@@ -269,8 +323,20 @@ def _fused_kernel(
         return carry
 
     jax.lax.fori_loop(0, n_chunks, depth_body, 0)
-    best_zw = state_f_ref[0:1]
-    best_pos = state_i_ref[0:1]
+    packed_key = state_i_ref[0:1]
+    win_chunk = state_i_ref[1:2]
+    fg_bool = packed_key < _BIG_I
+    best_pos = jnp.where(
+        fg_bool, win_chunk * chunk + (packed_key & _POS_MASK), _BIG
+    )
+    best_zw = jnp.where(
+        fg_bool,
+        jax.lax.bitcast_convert_type(
+            packed_key & (~_POS_MASK), jnp.float32
+        )
+        - 1.5,
+        jnp.inf,
+    )
 
     # ---- phase 2: attribute resolve for winner chunks ---------------------
     # Winners inside one 16x16 tile come from spatially adjacent faces, which
@@ -370,7 +436,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
-        "w_ambient", "w_diffuse", "min_depth", "max_depth",
+        "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
     ),
 )
 def render_views_fused(
@@ -386,6 +452,7 @@ def render_views_fused(
     chunk: int = 128,
     interpret: bool = False,
     debug_phase1_only: bool = False,
+    cull_backfaces: bool = True,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -396,6 +463,7 @@ def render_views_fused(
     n = poses.shape[0]
     f = tables.num_faces
     assert img_h % TILE_H == 0 and img_w % TILE_W == 0
+    assert chunk == 1 << _POS_BITS, "packed depth key assumes chunk=2**_POS_BITS"
     n_ty, n_tx = img_h // TILE_H, img_w // TILE_W
     n_tiles = n_ty * n_tx
     f32 = jax.lax.Precision.HIGHEST
@@ -466,6 +534,23 @@ def render_views_fused(
     for p in edge_planes:
         nondeg |= p != 0.0
     valid = w_pos & plane_ok & nondeg
+    if cull_backfaces and tables.backface_cull_ok:
+        # Backface culling as a pure optimization: only applied when the
+        # mesh-build proof (watertight + consistent outward winding, see
+        # FusedMeshTables) guarantees the image is unchanged. Front faces
+        # have det > 0 under this pipeline's conventions (pinned by tests);
+        # ~half the faces -- and most of their chunks -- drop out of the
+        # phase-1 loop. The reference renders double-sided
+        # (foundationpose_render.cu:201), which this preserves exactly.
+        valid &= det > 0
+
+    # sign-normalize the edge functions by the triangle orientation (the
+    # screen-space det has the same sign as the clip det when all w > 0), so
+    # coverage in the kernel is a single three-way min >= 0 instead of the
+    # both-signs test -- phase 1 is VPU-bound and every op on the
+    # (chunk, lanes) tensors counts
+    orient = jnp.where(det >= 0, 1.0, -1.0)
+    edge_planes = [p * orient for p in edge_planes]
 
     # per-corner attributes: camera xyz (rot @ v + t) and diffuse intensity
     rot = poses[:, :3, :3]

@@ -131,3 +131,47 @@ def test_sample_texture_matches_texture_op():
         )
     )[0, 0]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_backface_cull_auto_detection():
+    """Culling only engages with the watertight + consistent-winding proof."""
+    sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=10, n_lon=14)
+    cube = procedural.textured_cube(size=0.1)  # mixed winding by design
+    assert FusedMeshTables.from_asset(sphere).backface_cull_ok
+    assert not FusedMeshTables.from_asset(cube).backface_cull_ok
+
+
+def test_backface_cull_output_identical():
+    """Culled and uncculled renders of a closed mesh match exactly."""
+    asset, mesh, tables, poses, clipm = _setup(n_poses=2)
+    assert tables.backface_cull_ok
+    culled = np.asarray(
+        render_views_fused(tables, poses, clipm, CROP, CROP, interpret=True)
+    )
+    unculled = np.asarray(
+        render_views_fused(
+            tables, poses, clipm, CROP, CROP, interpret=True,
+            cull_backfaces=False,
+        )
+    )
+    np.testing.assert_array_equal(culled, unculled)
+
+
+def test_inward_winding_normalized():
+    """A consistently INWARD-wound closed mesh is flipped at build time and
+    renders identically to the outward-wound original."""
+    import jax.numpy as jnp
+    from foundationpose_cpp_tpu.meshio.mesh_loader import make_mesh_asset
+
+    sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=10, n_lon=14)
+    inward = make_mesh_asset(
+        sphere.name, sphere.vertices, sphere.faces[:, ::-1].copy(),
+        sphere.texcoords, sphere.vertex_normals, sphere.texture,
+    )
+    t_out = FusedMeshTables.from_asset(sphere)
+    t_in = FusedMeshTables.from_asset(inward)
+    assert t_in.backface_cull_ok
+    _, mesh, _, poses, clipm = _setup(n_poses=1)
+    a = np.asarray(render_views_fused(t_out, poses, clipm, CROP, CROP, interpret=True))
+    b = np.asarray(render_views_fused(t_in, poses, clipm, CROP, CROP, interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
