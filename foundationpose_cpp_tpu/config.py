@@ -73,6 +73,13 @@ class FoundationPoseConfig:
     # default refine iterations per Register/Track call
     refine_itr: int = 1
 
+    # dynamic-input-size buckets (reference README.md:20 serves any size <=
+    # max with pre-sized buffers). When set, inputs are zero-padded up to the
+    # smallest (H, W) bucket and the real extents ride through the program as
+    # dynamic scalars, so all sizes within a bucket share ONE executable.
+    # None = compile per exact size (the default, zero overhead).
+    size_buckets: tuple[tuple[int, int], ...] | None = None
+
     # dtype policy: bf16 for the neural nets, f32 for geometry/render
     use_bf16_models: bool = True
 

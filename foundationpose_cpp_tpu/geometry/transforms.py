@@ -41,8 +41,11 @@ def projection_from_intrinsics(
     """OpenGL projection matrix from a pinhole K, y_down window coords.
 
     Mirrors ProjectMatrixFromIntrinsics (foundationpose_render.cpp:151-186).
+    height/width may be python ints or traced scalars (bucketed-size mode
+    passes the REAL extents dynamically while shapes stay at the bucket).
     """
-    w, h = float(width), float(height)
+    w = jnp.asarray(width, jnp.float32)
+    h = jnp.asarray(height, jnp.float32)
     depth = zfar - znear
     q = -(zfar + znear) / depth
     qn = -2.0 * zfar * znear / depth
@@ -181,6 +184,8 @@ def pose_clip_matrix(
     proj = projection_from_intrinsics(K, rgb_h, rgb_w, znear, zfar)
     mvp = _einsum("ij,jk,nkl->nil", proj, GL_CAM_IN_CV_CAM, poses)  # (N,4,4)
 
+    rgb_h = jnp.asarray(rgb_h, jnp.float32)
+    rgb_w = jnp.asarray(rgb_w, jnp.float32)
     l = bbox2d[:, 0]
     t = rgb_h - bbox2d[:, 1]
     r = bbox2d[:, 2]

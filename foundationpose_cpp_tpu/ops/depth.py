@@ -42,25 +42,37 @@ def erode_depth(
     depth_diff_thres: float = 0.001,
     ratio_thres: float = 0.8,
     zfar: float = 100.0,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Zero out pixels whose neighborhood disagrees (sampling.cu:21-82).
 
     A pixel survives iff its own depth is in [0.1, zfar) and at most
     ratio_thres of its in-bounds (2r+1)^2 neighbors (including itself) are
     invalid or differ by more than depth_diff_thres.
+
+    `valid` (bool (H, W), optional) marks the REAL image extent when the
+    array is padded to a size bucket; out-of-extent pixels are treated as
+    out-of-bounds (excluded from the neighbor count), keeping bucketed
+    results identical to unpadded ones.
     """
     d = depth
     bad = jnp.zeros_like(d)
     total = jnp.zeros_like(d)
+    vf = None if valid is None else valid.astype(d.dtype)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             nb, inb = _shifted(d, dy, dx, 0.0)
+            if vf is not None:
+                nb_v, _ = _shifted(vf, dy, dx, 0.0)
+                inb = inb & (nb_v > 0)
             inbf = inb.astype(d.dtype)
             is_bad = (nb < 0.1) | (nb >= zfar) | (jnp.abs(nb - d) > depth_diff_thres)
             bad = bad + jnp.where(inb & is_bad, 1.0, 0.0)
             total = total + inbf
-    keep = (bad / total) <= ratio_thres
+    keep = (bad / jnp.maximum(total, 1.0)) <= ratio_thres
     valid_center = (d >= 0.1) & (d < zfar)
+    if valid is not None:
+        valid_center = valid_center & valid
     return jnp.where(valid_center & keep, d, 0.0)
 
 

@@ -53,6 +53,7 @@ def refine_loop(
     net_cfg: networks.NetConfig,
     rasterize_fn: Any = None,
     use_fused: bool = False,
+    image_hw: tuple | None = None,
 ) -> jnp.ndarray:
     """scan over refine iterations: render -> refiner -> compose delta.
 
@@ -64,7 +65,7 @@ def refine_loop(
     def body(poses, _):
         render_in, transf_in = render_and_transform(
             mesh, poses, rgb, xyz_map, K, cfg.refine_crop_ratio, cfg,
-            rasterize_fn, use_fused,
+            rasterize_fn, use_fused, image_hw,
         )
         out = networks.apply_refiner(params_r, render_in, transf_in, net_cfg)
         new_poses = transforms.apply_refine_delta(
@@ -91,18 +92,28 @@ def register_step(
     rasterize_fn: Any = None,
     hyp_valid: jnp.ndarray | None = None,
     use_fused: bool = False,
+    image_hw: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The full Register computation as one traceable function.
 
     hyp_valid masks padded grid rows (multi-chip sharding pads 252 up to a
     multiple of the device count); invalid rows score -inf before the argmax.
+    image_hw carries the REAL (h, w) extents (traced scalars) when the input
+    arrays are zero-padded to a size bucket; see FoundationPoseConfig
+    .size_buckets.
 
     Returns (best_pose, refined_poses, scores, ok).
     """
     df = cfg.depth_filter
+    extent_valid = None
+    if image_hw is not None:
+        hh, ww = depth.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+        extent_valid = (rows < image_hw[0]) & (cols < image_hw[1])
     eroded = depth_ops.erode_depth(
         depth, df.erode_radius, df.erode_depth_diff_thres,
-        df.erode_ratio_thres, df.zfar,
+        df.erode_ratio_thres, df.zfar, valid=extent_valid,
     )
     filtered = depth_ops.bilateral_filter_depth(
         eroded, df.bilateral_radius, df.bilateral_sigma_d,
@@ -115,12 +126,12 @@ def register_step(
 
     poses = refine_loop(
         mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
-        rasterize_fn, use_fused,
+        rasterize_fn, use_fused, image_hw,
     )
 
     render_in, transf_in = render_and_transform(
         mesh, poses, rgb, xyz_map, K, cfg.score_crop_ratio, cfg, rasterize_fn,
-        use_fused,
+        use_fused, image_hw,
     )
     out = networks.apply_scorer(params_s, render_in, transf_in, net_cfg)
     scores = out["scores"][:, 0]
@@ -142,6 +153,7 @@ def track_step(
     net_cfg: networks.NetConfig,
     rasterize_fn: Any = None,
     use_fused: bool = False,
+    image_hw: tuple | None = None,
 ) -> jnp.ndarray:
     """Track computation for a (N, 4, 4) batch of instances of one mesh.
 
@@ -150,7 +162,7 @@ def track_step(
     xyz_map = depth_ops.depth_to_xyz(depth, K, cfg.min_depth)
     return refine_loop(
         mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
-        rasterize_fn, use_fused,
+        rasterize_fn, use_fused, image_hw,
     )
 
 
@@ -228,8 +240,23 @@ class FoundationPose:
     # ------------------------------------------------------------------
     # traced program bodies
 
-    def _register_program(self, mesh_name: str, refine_itr: int):
+    def _register_program(self, mesh_name: str, refine_itr: int,
+                          bucketed: bool = False):
         mesh = self._meshes[mesh_name]
+
+        if bucketed:
+            # arrays are padded to a bucket; the REAL extents ride as dynamic
+            # scalars so every size within the bucket shares this executable
+            @jax.jit
+            def program(params_r, params_s, rgb, depth, mask, rot_grid, h, w):
+                return register_step(
+                    mesh, params_r, params_s, rgb, depth, mask, rot_grid,
+                    self._K, refine_itr, self._cfg, self._net_cfg,
+                    self._rasterize_fn, use_fused=self._use_fused,
+                    image_hw=(h, w),
+                )
+
+            return program
 
         @jax.jit
         def program(params_r, params_s, rgb, depth, mask, rot_grid):
@@ -241,8 +268,21 @@ class FoundationPose:
 
         return program
 
-    def _track_program(self, mesh_name: str, refine_itr: int):
+    def _track_program(self, mesh_name: str, refine_itr: int,
+                       bucketed: bool = False):
         mesh = self._meshes[mesh_name]
+
+        if bucketed:
+            @jax.jit
+            def program(params_r, rgb, depth, pose, h, w):
+                poses = track_step(
+                    mesh, params_r, rgb, depth, pose[None, :, :], self._K,
+                    refine_itr, self._cfg, self._net_cfg, self._rasterize_fn,
+                    use_fused=self._use_fused, image_hw=(h, w),
+                )
+                return poses[0]
+
+            return program
 
         @jax.jit
         def program(params_r, rgb, depth, pose):
@@ -254,6 +294,30 @@ class FoundationPose:
             return poses[0]
 
         return program
+
+    # ------------------------------------------------------------------
+    # size bucketing (reference README.md:20 dynamic input sizes)
+
+    def _bucket_for(self, h: int, w: int) -> tuple[int, int] | None:
+        """Smallest configured bucket fitting (h, w); None = bucketing off."""
+        buckets = self._cfg.size_buckets
+        if buckets is None:
+            return None
+        for bh, bw in sorted(buckets, key=lambda b: b[0] * b[1]):
+            if bh >= h and bw >= w:
+                return (int(bh), int(bw))
+        raise ValueError(
+            f"[FoundationPose] no size bucket fits ({h}, {w}); "
+            f"buckets={buckets}"
+        )
+
+    @staticmethod
+    def _pad_to(arr: np.ndarray, bh: int, bw: int) -> np.ndarray:
+        h, w = arr.shape[:2]
+        if (h, w) == (bh, bw):
+            return np.asarray(arr)
+        pad = [(0, bh - h), (0, bw - w)] + [(0, 0)] * (arr.ndim - 2)
+        return np.pad(np.asarray(arr), pad)
 
     # ------------------------------------------------------------------
     # public API
@@ -273,20 +337,33 @@ class FoundationPose:
         reference's sampler CHECK_STATE failure path).
         """
         self._check_inputs(rgb, depth, mask, target_name)
-        key = ("register", target_name, rgb.shape[:2], int(refine_itr))
+        h, w = rgb.shape[:2]
+        bucket = self._bucket_for(h, w)
+        key = ("register", target_name, bucket or (h, w), int(refine_itr),
+               bucket is not None)
         if key not in self._register_cache:
             self._register_cache[key] = self._register_program(
-                target_name, int(refine_itr)
+                target_name, int(refine_itr), bucketed=bucket is not None
             )
         program = self._register_cache[key]
-        best, _, _, ok = program(
-            self._refiner_params,
-            self._scorer_params,
-            jnp.asarray(rgb),
-            jnp.asarray(depth),
-            jnp.asarray(mask),
-            self._rot_grid,
-        )
+        if bucket is not None:
+            bh, bw = bucket
+            best, _, _, ok = program(
+                self._refiner_params, self._scorer_params,
+                jnp.asarray(self._pad_to(rgb, bh, bw)),
+                jnp.asarray(self._pad_to(depth, bh, bw)),
+                jnp.asarray(self._pad_to(mask, bh, bw)),
+                self._rot_grid, jnp.int32(h), jnp.int32(w),
+            )
+        else:
+            best, _, _, ok = program(
+                self._refiner_params,
+                self._scorer_params,
+                jnp.asarray(rgb),
+                jnp.asarray(depth),
+                jnp.asarray(mask),
+                self._rot_grid,
+            )
         if not bool(ok):
             raise RuntimeError(
                 "[FoundationPose] translation guess failed: mask is empty or "
@@ -299,15 +376,28 @@ class FoundationPose:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Register returning (best_pose, all refined poses, scores)."""
         self._check_inputs(rgb, depth, mask, target_name)
-        key = ("register", target_name, rgb.shape[:2], int(refine_itr))
+        h, w = rgb.shape[:2]
+        bucket = self._bucket_for(h, w)
+        key = ("register", target_name, bucket or (h, w), int(refine_itr),
+               bucket is not None)
         if key not in self._register_cache:
             self._register_cache[key] = self._register_program(
-                target_name, int(refine_itr)
+                target_name, int(refine_itr), bucketed=bucket is not None
             )
-        best, poses, scores, ok = self._register_cache[key](
-            self._refiner_params, self._scorer_params,
-            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(mask), self._rot_grid,
-        )
+        if bucket is not None:
+            bh, bw = bucket
+            best, poses, scores, ok = self._register_cache[key](
+                self._refiner_params, self._scorer_params,
+                jnp.asarray(self._pad_to(rgb, bh, bw)),
+                jnp.asarray(self._pad_to(depth, bh, bw)),
+                jnp.asarray(self._pad_to(mask, bh, bw)),
+                self._rot_grid, jnp.int32(h), jnp.int32(w),
+            )
+        else:
+            best, poses, scores, ok = self._register_cache[key](
+                self._refiner_params, self._scorer_params,
+                jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(mask), self._rot_grid,
+            )
         if not bool(ok):
             raise RuntimeError("[FoundationPose] translation guess failed")
         return np.asarray(best), np.asarray(poses), np.asarray(scores)
@@ -322,15 +412,28 @@ class FoundationPose:
     ) -> np.ndarray:
         """Per-frame pose update (FoundationPose::Track, :230-265)."""
         self._check_inputs(rgb, depth, None, target_name)
-        key = ("track", target_name, rgb.shape[:2], int(refine_itr))
+        h, w = rgb.shape[:2]
+        bucket = self._bucket_for(h, w)
+        key = ("track", target_name, bucket or (h, w), int(refine_itr),
+               bucket is not None)
         if key not in self._track_cache:
-            self._track_cache[key] = self._track_program(target_name, int(refine_itr))
-        out = self._track_cache[key](
-            self._refiner_params,
-            jnp.asarray(rgb),
-            jnp.asarray(depth),
-            jnp.asarray(np.asarray(hyp_pose, dtype=np.float32)),
-        )
+            self._track_cache[key] = self._track_program(
+                target_name, int(refine_itr), bucketed=bucket is not None
+            )
+        pose_j = jnp.asarray(np.asarray(hyp_pose, dtype=np.float32))
+        if bucket is not None:
+            bh, bw = bucket
+            out = self._track_cache[key](
+                self._refiner_params,
+                jnp.asarray(self._pad_to(rgb, bh, bw)),
+                jnp.asarray(self._pad_to(depth, bh, bw)),
+                pose_j, jnp.int32(h), jnp.int32(w),
+            )
+        else:
+            out = self._track_cache[key](
+                self._refiner_params, jnp.asarray(rgb), jnp.asarray(depth),
+                pose_j,
+            )
         return np.asarray(out)
 
     def track_batch(

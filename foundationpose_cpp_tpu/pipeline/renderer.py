@@ -97,6 +97,7 @@ def render_and_transform(
     cfg: FoundationPoseConfig,
     rasterize_fn: Any = None,
     use_fused: bool = False,
+    image_hw: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Produce the two 6-channel model input crops for N poses.
 
@@ -109,12 +110,14 @@ def render_and_transform(
       crop_ratio: 1.2 refine / 1.1 score.
       rasterize_fn: override for the rasterizer (Pallas kernel on TPU);
         defaults to the pure-XLA ops.rasterize.rasterize.
+      image_hw: REAL (h, w) extents (possibly traced scalars) when rgb/xyz
+        are zero-padded to a size bucket; None = use the array shape.
 
     Returns:
       (render_input, transf_input), each (N, crop_h, crop_w, 6) f32.
     """
     ch, cw = cfg.crop_window_h, cfg.crop_window_w
-    h, w = rgb.shape[:2]
+    h, w = image_hw if image_hw is not None else rgb.shape[:2]
     rasterizer = rasterize_fn if rasterize_fn is not None else ras.rasterize
 
     tfs = transforms.compute_crop_window_tf(
