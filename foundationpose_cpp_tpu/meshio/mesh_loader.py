@@ -236,11 +236,20 @@ def _parse_ply(path: pathlib.Path):
     fmt = None
     elements: list[tuple[str, int, list[tuple[str, str]]]] = []
     cur = None
+    texture_path: str | None = None
     for line in header:
         parts = line.strip().split()
         if not parts:
             continue
-        if parts[0] == "format":
+        if parts[0] == "comment" and len(parts) >= 3 and parts[1] in (
+            "TextureFile", "texturefile", "TextureName",
+        ):
+            # the standard PLY texture convention (MeshLab/Assimp exports):
+            #   comment TextureFile <relative-image-path>
+            cand = path.parent / " ".join(parts[2:])
+            if cand.exists():
+                texture_path = str(cand)
+        elif parts[0] == "format":
             fmt = parts[1]
         elif parts[0] == "element":
             cur = (parts[1], int(parts[2]), [])
@@ -319,7 +328,7 @@ def _parse_ply(path: pathlib.Path):
     nrm = np.asarray(normals, dtype=np.float32) if normals else None
     uv = np.asarray(uvs, dtype=np.float32) if uvs else None
     face_arr = np.asarray(faces, dtype=np.int32)
-    return pos, uv, nrm, face_arr, None
+    return pos, uv, nrm, face_arr, texture_path
 
 
 def load_mesh(

@@ -74,22 +74,6 @@ def default_pose(tz: float = 0.6) -> np.ndarray:
     return pose
 
 
-def write_obj(asset, path: str) -> None:
-    """Write a MeshAsset as a Wavefront OBJ (v/vt/vn + f v/vt/vn triplets)."""
-    lines = []
-    for v in asset.vertices:
-        lines.append(f"v {v[0]:.8f} {v[1]:.8f} {v[2]:.8f}")
-    for t in asset.texcoords:
-        lines.append(f"vt {t[0]:.8f} {t[1]:.8f}")
-    for n in asset.vertex_normals:
-        lines.append(f"vn {n[0]:.8f} {n[1]:.8f} {n[2]:.8f}")
-    for f in asset.faces:
-        a, b, c = (int(i) + 1 for i in f)
-        lines.append(f"f {a}/{a}/{a} {b}/{b}/{b} {c}/{c}/{c}")
-    with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-
-
 def write_mini_dataset(
     root: str,
     n_frames: int = 3,
@@ -115,7 +99,7 @@ def write_mini_dataset(
     K = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]], np.float32)
     np.savetxt(root_p / "cam_K.txt", K, fmt="%.6f")
     cube = procedural.textured_cube(size=0.1)
-    write_obj(cube, str(root_p / "mesh" / "cube.obj"))
+    procedural.write_obj(cube, str(root_p / "mesh" / "cube.obj"))
     mesh = MeshConstants.from_asset(cube)
 
     def _write_png(path, arr):

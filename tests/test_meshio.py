@@ -126,3 +126,30 @@ def test_sphere_asset_well_formed():
     # normals point outward
     dots = (sph.vertex_normals * sph.vertices).sum(-1)
     assert (dots >= 0).all()
+
+
+def test_ply_texture_file_comment(tmp_path):
+    """PLY TextureFile comment discovery (MeshLab/Assimp convention)."""
+    from PIL import Image
+
+    tex = np.zeros((4, 4, 3), np.uint8)
+    tex[..., 0] = 200  # red-ish
+    Image.fromarray(tex).save(tmp_path / "skin.png")
+    header = (
+        "ply\nformat ascii 1.0\ncomment TextureFile skin.png\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float u\nproperty float v\n"
+        "element face 1\nproperty list uchar int vertex_indices\nend_header\n"
+    )
+    body = "0 0 0 0 0\n1 0 0 1 0\n0 1 0 0 1\n3 0 1 2\n"
+    (tmp_path / "tex.ply").write_text(header + body)
+    loaded = ml.load_mesh("tex", str(tmp_path / "tex.ply"))
+    assert loaded.texture.shape == (4, 4, 3)
+    np.testing.assert_allclose(loaded.texture[..., 0], 200 / 255.0, atol=1e-3)
+
+    # missing referenced file -> gray fallback, no crash
+    header2 = header.replace("skin.png", "missing.png")
+    (tmp_path / "tex2.ply").write_text(header2 + body)
+    loaded2 = ml.load_mesh("tex2", str(tmp_path / "tex2.ply"))
+    assert loaded2.texture.shape == (2, 2, 3)

@@ -1,0 +1,157 @@
+"""Texture fidelity of the fused renderer vs reference per-pixel texturing.
+
+VERDICT r1 #4: the fused megakernel substitutes vertex-sampled texture for
+the reference's per-pixel bilinear fetch (texture.cu:131-179). This test
+quantifies that gap on a HIGH-FREQUENCY texture (checkerboard near texel/
+pixel scale) and proves the texture-driven subdivision preprocess
+(meshio/subdivide.py) closes it to a pinned bound.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from foundationpose_cpp_tpu.config import FoundationPoseConfig
+from foundationpose_cpp_tpu.geometry import transforms
+from foundationpose_cpp_tpu.meshio import procedural
+from foundationpose_cpp_tpu.meshio.mesh_loader import make_mesh_asset
+from foundationpose_cpp_tpu.meshio.subdivide import (
+    subdivide_for_texture,
+    _face_uv_texels,
+)
+from foundationpose_cpp_tpu.ops import pointcloud
+from foundationpose_cpp_tpu.ops import rasterize as ras
+from foundationpose_cpp_tpu.ops.render_fused import (
+    FusedMeshTables,
+    render_views_fused,
+)
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+from foundationpose_cpp_tpu.utils import synthetic
+
+CFG = FoundationPoseConfig()
+K = np.array([[300.0, 0, 64], [0, 300.0, 64], [0, 0, 1]], dtype=np.float32)
+CROP = 32
+
+
+def _sharp_sphere(squares=16, n_lat=10, n_lon=14):
+    """Coarse sphere + fine checkerboard: faces span many texels."""
+    base = procedural.textured_uv_sphere(radius=0.05, n_lat=n_lat, n_lon=n_lon)
+    tex = procedural.checkerboard_texture(size=64, squares=squares)
+    return make_mesh_asset(
+        base.name, base.vertices, base.faces, base.texcoords,
+        base.vertex_normals, tex,
+    )
+
+
+def _clip(asset, poses):
+    mesh = MeshConstants.from_asset(asset)
+    Kj = jnp.asarray(K)
+    tfs = transforms.compute_crop_window_tf(
+        poses, Kj, (CROP, CROP), 1.1, mesh.diameter
+    )
+    bbox = transforms.construct_bbox2d(tfs, CROP, CROP)
+    return mesh, transforms.pose_clip_matrix(poses, bbox, Kj, 128, 128)
+
+
+def _perpixel_reference(asset, mesh, poses, clipm):
+    """The render branch with TRUE per-pixel bilinear texturing (the
+    reference texture.cu semantics) -- the fidelity oracle."""
+    clip = transforms.transform_points_homogeneous(clipm, mesh.vertices)
+    rast = ras.rasterize(clip, mesh.faces, CROP, CROP, face_valid=mesh.face_valid)
+    pts_cam = transforms.transform_points(poses, mesh.vertices)
+    diffuse = transforms.diffuse_intensity(poses, mesh.normals)
+    n = poses.shape[0]
+    packed = jnp.concatenate(
+        [
+            pts_cam,
+            diffuse[..., None],
+            jnp.broadcast_to(mesh.texcoords[None], (n, *mesh.texcoords.shape)),
+        ],
+        axis=-1,
+    )
+    interp = ras.interpolate_attributes(packed, rast, mesh.faces)
+    color = ras.texture_bilinear_wrap(mesh.texture, interp[..., 4:6])
+    color = ras.shade_color(color, interp[..., 3:4], rast)
+    color = ras.flip_vertical(color)
+    return np.asarray(color)
+
+
+def _fused_color(asset, poses, clipm):
+    tables = FusedMeshTables.from_asset(asset)
+    out = render_views_fused(tables, poses, clipm, CROP, CROP, interpret=True)
+    return np.asarray(out[..., :3])
+
+
+def _fg_mean_err(got, want):
+    fg = want.sum(-1) > 0
+    return float(np.abs(got - want).max(-1)[fg].mean())
+
+
+def _poses(n=2, tz=0.45, seed=0):
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    poses = np.tile(synthetic.default_pose(tz)[None], (n, 1, 1))
+    poses[:, :3, :3] = Rotation.random(n, rng).as_matrix()
+    return jnp.asarray(poses.astype(np.float32))
+
+
+def test_vertex_sampling_gap_quantified_and_closed():
+    """Pin the high-frequency-texture error, before and after subdivision."""
+    sharp = _sharp_sphere()
+    poses = _poses()
+    mesh, clipm = _clip(sharp, poses)
+    want = _perpixel_reference(sharp, mesh, poses, clipm)
+
+    err_coarse = _fg_mean_err(_fused_color(sharp, poses, clipm), want)
+
+    fine = subdivide_for_texture(sharp, max_texels_per_face=1.0)
+    assert fine.num_faces > sharp.num_faces
+    assert _face_uv_texels(
+        fine.texcoords, fine.faces, 64, 64
+    ).max() <= 1.0 + 1e-6
+    # per-pixel oracle against the SAME clip matrices (geometry unchanged:
+    # subdivision preserves the surface exactly)
+    err_fine = _fg_mean_err(_fused_color(fine, poses, clipm), want)
+
+    # adversarial texture: vertex sampling loses the checkerboard badly;
+    # subdivision recovers per-pixel fidelity to a pinned bound
+    # measured (CPU interpret): coarse ~0.13, subdivided(1 texel) ~0.033
+    assert err_coarse > 0.1, f"expected a real gap, got {err_coarse:.4f}"
+    assert err_fine < 0.05, f"subdivided error {err_fine:.4f} too high"
+    assert err_fine < err_coarse / 3
+
+
+def test_smooth_texture_needs_no_subdivision():
+    """Error scales with texture frequency x face span: a smooth texture
+    (the typical scanned-object case away from label edges) needs no
+    subdivision at all."""
+    base = procedural.textured_uv_sphere(radius=0.05, n_lat=10, n_lon=14)
+    ys, xs = np.mgrid[0:64, 0:64] / 64.0
+    smooth = np.stack(
+        [0.2 + 0.6 * xs, 0.3 + 0.5 * ys, 0.5 + 0.3 * xs * ys], axis=-1
+    ).astype(np.float32)
+    asset = make_mesh_asset(
+        base.name, base.vertices, base.faces, base.texcoords,
+        base.vertex_normals, smooth,
+    )
+    poses = _poses(n=1)
+    mesh, clipm = _clip(asset, poses)
+    want = _perpixel_reference(asset, mesh, poses, clipm)
+    err = _fg_mean_err(_fused_color(asset, poses, clipm), want)
+    assert err < 0.03, f"smooth-texture error {err:.4f}"
+
+
+def test_subdivision_preserves_geometry():
+    sharp = _sharp_sphere()
+    fine = subdivide_for_texture(sharp, max_texels_per_face=2.0)
+    # same bounding geometry and diameter (surface unchanged)
+    np.testing.assert_allclose(fine.diameter, sharp.diameter, rtol=1e-5)
+    np.testing.assert_allclose(
+        fine.vertices.min(0), sharp.vertices.min(0), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        fine.vertices.max(0), sharp.vertices.max(0), atol=1e-6
+    )
+    # normals stay unit
+    n = np.linalg.norm(fine.vertex_normals, axis=1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
