@@ -12,6 +12,13 @@ Usage: python examples/demo_multi_object.py [--instances N] [--frames M]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# allow running from a source checkout without installing the package
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 import time
 
 import numpy as np

@@ -63,9 +63,8 @@ TILE_W = 32
 LANES = TILE_H * TILE_W  # 1024
 QS = 256  # lanes per 16x16 quadrant (quadrant-major lane layout)
 # phase-1 packed depth key: pos-in-chunk rides the low mantissa bits of
-# bitcast(z/w + 1.5); chunk size must stay 2**_POS_BITS
-_POS_BITS = 7
-_POS_MASK = (1 << _POS_BITS) - 1
+# bitcast(z/w + 1.5); chunk size must be a power of two (the pos mask is
+# chunk-1), so depth is quantized by `chunk` ulps (~3e-5 at chunk=128)
 _BIG_I = 0x7F000000  # > any packed key (zw+1.5 in [0.5, 2.5]); fits int32
 
 
@@ -195,7 +194,7 @@ class FusedMeshTables:
 
 def _fused_kernel(
     coeff_ref,  # (1, F_pad, 16) VMEM: [a0(3) a1(3) a2(3) zwplane(3) pad]
-    attr_ref,  # (1, F_pad, 24) VMEM: corners x [r g b x y z d pad]
+    attr_ref,  # (1, 24, F_pad) VMEM: corners x [r g b x y z d pad]
     bits_ref,  # (1, n_tiles, W32) SMEM i32: chunk-overlap bitmask per tile
     cbb_ref,  # (1, n_chunks, 4) SMEM f32: chunk bboxes [y0 y1 x0 x1]
     trans_ref,  # (1, 1, 8) SMEM: [tx ty tz 0 0 0 0 0]
@@ -214,6 +213,7 @@ def _fused_kernel(
     max_depth,
     inv_downscale,
     debug_phase1_only=False,
+    quadrant_split=True,
 ):
     """All control flow is STATIC fori + @pl.when (see module docstring);
     pixel state lives in VMEM scratch because predicated bodies cannot carry
@@ -247,15 +247,17 @@ def _fused_kernel(
         a2 = cf[:, 6:7] * fx + cf[:, 7:8] * fy + cf[:, 8:9]
         return a0, a1, a2
 
+    pos_mask = chunk - 1
+
     # scratch rows: i[0]=packed depth|pos key, i[1]=winning chunk id
     # Phase 1 is VPU-bandwidth-bound on (chunk, QS) temporaries, so the
-    # winner state is ONE packed int32 key per pixel: the low POS_BITS
+    # winner state is ONE packed int32 key per pixel: the low log2(chunk)
     # mantissa bits of (z/w + 1.5) are replaced by the face's position
     # inside its chunk. f32 bit patterns of positives are order-isomorphic,
     # so a single min-reduce yields the nearest-depth winner with
     # lowest-pos tie-breaking (the old formulation needed two reduces plus
     # an equality/tie cascade per visit -- measured ~2x the VPU work).
-    # Depth is quantized by 2^POS_BITS ulps (~3e-5 in zw units): winner
+    # Depth is quantized by `chunk` ulps (~3e-5 in zw units at 128): winner
     # flips only between near-coplanar faces, where either is correct.
     state_i_ref[0:1] = jnp.full((1, LANES), _BIG_I, jnp.int32)
     state_i_ref[1:2] = jnp.zeros((1, LANES), jnp.int32)
@@ -264,16 +266,18 @@ def _fused_kernel(
     basis = jnp.concatenate([fx, fy, jnp.ones((1, LANES), jnp.float32)], axis=0)
 
     # pos-in-chunk iota, hoisted out of both loops (constant)
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, QS), 0)
+    lane_span = QS if quadrant_split else LANES
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane_span), 0)
 
     # ---- phase 1: nearest-depth winner per pixel --------------------------
     def depth_chunk_quadrant(ci, cf, qs):
         # the 3 edge functions + z/w plane as K=3 MXU matmuls over one
-        # quadrant's lanes; the VPU keeps only coverage + one min-reduce.
-        # Edges are orientation-normalized in the prepass (covered = all
-        # >= 0); invalid/degenerate faces carry zero edge coefficients +
-        # an out-of-range depth plane, so no degeneracy guard is needed.
-        bq = basis[:, qs : qs + QS]
+        # quadrant's (or the whole tile's) lanes; the VPU keeps only
+        # coverage + one min-reduce. Edges are orientation-normalized in
+        # the prepass (covered = all >= 0); invalid/degenerate faces carry
+        # an always-negative edge constant, so no degeneracy guard is
+        # needed.
+        bq = basis[:, qs : qs + lane_span]
 
         def ev(lo_col):
             return jax.lax.dot_general(
@@ -286,23 +290,28 @@ def _fused_kernel(
         a1 = ev(3)
         a2 = ev(6)
         zw = ev(9)
-        covered = (jnp.minimum(jnp.minimum(a0, a1), a2) >= 0) & (
-            jnp.abs(zw) <= 1.0
-        )
+        # No per-pixel z-window test: faces with any corner z/w outside
+        # [-1, 1] are whole-face culled in the prepass (z/w is affine in
+        # screen space, so corner bounds bound every interior pixel), and
+        # invalid/pad faces carry an always-negative edge constant.
+        covered = jnp.minimum(jnp.minimum(a0, a1), a2) >= 0
         zbits = jax.lax.bitcast_convert_type(zw + 1.5, jnp.int32)
-        packed = (zbits & (~_POS_MASK)) + pos_iota
+        packed = (zbits & (~pos_mask)) + pos_iota
         packed = jnp.where(covered, packed, _BIG_I)
-        local = jnp.min(packed, axis=0, keepdims=True)  # (1, QS)
-        best = state_i_ref[0:1, qs : qs + QS]
+        local = jnp.min(packed, axis=0, keepdims=True)  # (1, span)
+        best = state_i_ref[0:1, qs : qs + lane_span]
         take = local < best
-        state_i_ref[0:1, qs : qs + QS] = jnp.where(take, local, best)
-        winc = state_i_ref[1:2, qs : qs + QS]
-        state_i_ref[1:2, qs : qs + QS] = jnp.where(take, ci, winc)
+        state_i_ref[0:1, qs : qs + lane_span] = jnp.where(take, local, best)
+        winc = state_i_ref[1:2, qs : qs + lane_span]
+        state_i_ref[1:2, qs : qs + lane_span] = jnp.where(take, ci, winc)
 
     def depth_body(ci, carry):
         @pl.when(chunk_live(ci))
         def _():
             cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
+            if not quadrant_split:
+                depth_chunk_quadrant(ci, cf, 0)
+                return
             cy0 = cbb_ref[0, ci, 0]
             cy1 = cbb_ref[0, ci, 1]
             cx0 = cbb_ref[0, ci, 2]
@@ -327,12 +336,12 @@ def _fused_kernel(
     win_chunk = state_i_ref[1:2]
     fg_bool = packed_key < _BIG_I
     best_pos = jnp.where(
-        fg_bool, win_chunk * chunk + (packed_key & _POS_MASK), _BIG
+        fg_bool, win_chunk * chunk + (packed_key & pos_mask), _BIG
     )
     best_zw = jnp.where(
         fg_bool,
         jax.lax.bitcast_convert_type(
-            packed_key & (~_POS_MASK), jnp.float32
+            packed_key & (~pos_mask), jnp.float32
         )
         - 1.5,
         jnp.inf,
@@ -345,8 +354,65 @@ def _fused_kernel(
     # test (a vector any() per chunk per tile costs more than the attr math).
     state_f_ref[1:9] = jnp.zeros((8, LANES), jnp.float32)
     fg_mask = best_pos < _BIG
-    smin = jnp.min(jnp.where(fg_mask, best_pos, _BIG))
-    smax = jnp.max(jnp.where(fg_mask, best_pos, -1))
+
+    # phase 2 always works full-tile spans: quadrant-splitting it was
+    # measured SLOWER (84.4 vs 82.1 ms / 252 views) -- per-visit fixed cost
+    # outweighs the tighter winner ranges
+    n_span = 1
+    span = LANES // n_span
+    smin_q, smax_q = [], []
+    for q in range(n_span):
+        sl = slice(q * span, (q + 1) * span)
+        smin_q.append(
+            jnp.min(jnp.where(fg_mask[:, sl], best_pos[:, sl], _BIG))
+        )
+        smax_q.append(
+            jnp.max(jnp.where(fg_mask[:, sl], best_pos[:, sl], -1))
+        )
+    smin = jnp.min(jnp.stack(smin_q))
+    smax = jnp.max(jnp.stack(smax_q))
+
+    # one-hot iota, hoisted out of the loop (constant); per visit the
+    # compare is against the CHUNK-RELATIVE winner index so no (chunk,
+    # span) add is spent shifting the iota
+    pos_lanes = jax.lax.broadcasted_iota(jnp.int32, (chunk, span), 0)
+
+    def attr_resolve(table, lo, qs):
+        """Blend the winner's attributes into span lanes [qs, qs+span)."""
+        mf = (pos_lanes == (best_pos[:, qs : qs + span] - lo)).astype(
+            jnp.float32
+        )
+        ext = jax.lax.dot_general(
+            table, mf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (40, span): winner's scalars per pixel (0 where no winner)
+
+        fx_q = fx[:, qs : qs + span]
+        fy_q = fy[:, qs : qs + span]
+        sa0 = ext[0:1] * fx_q + ext[1:2] * fy_q + ext[2:3]
+        sa1 = ext[3:4] * fx_q + ext[4:5] * fy_q + ext[5:6]
+        sa2 = ext[6:7] * fx_q + ext[7:8] * fy_q + ext[8:9]
+        ssum = sa0 + sa1 + sa2
+        iw = jnp.where(
+            ssum != 0.0, 1.0 / jnp.where(ssum == 0.0, 1.0, ssum), 0.0
+        )
+        b0 = sa0 * iw
+        b1 = sa1 * iw
+        b2 = 1.0 - b0 - b1
+
+        hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
+        rows = [
+            b0 * ext[16 + c : 17 + c]
+            + b1 * ext[24 + c : 25 + c]
+            + b2 * ext[32 + c : 33 + c]
+            for c in range(7)  # r g b x y z d
+        ]
+        prev = state_f_ref[1:9, qs : qs + span]
+        update = jnp.concatenate(
+            rows + [jnp.ones((1, span), jnp.float32)], axis=0
+        )
+        state_f_ref[1:9, qs : qs + span] = prev + update * hit
 
     def attr_body(ci, carry):
         lo = ci * chunk
@@ -362,42 +428,13 @@ def _fused_kernel(
             # at once -- the previous formulation did ~25 separate masked
             # vector reduces per subchunk and dominated the kernel (226 of
             # 356 ms measured).
-            cf = coeff_ref[0, pl.ds(lo, chunk), :]  # (chunk, 16)
-            at = attr_ref[0, pl.ds(lo, chunk), :]  # (chunk, 24)
-            table = jnp.concatenate([cf, at], axis=1)  # (chunk, 40)
-            pos_c = (
-                jax.lax.broadcasted_iota(jnp.int32, (chunk, LANES), 0) + lo
-            )
-            mf = (pos_c == best_pos).astype(jnp.float32)  # one-hot per pixel
-            ext = jax.lax.dot_general(
-                table, mf,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (40, LANES): winner's scalars per pixel (0 where no winner)
-
-            sa0 = ext[0:1] * fx + ext[1:2] * fy + ext[2:3]
-            sa1 = ext[3:4] * fx + ext[4:5] * fy + ext[5:6]
-            sa2 = ext[6:7] * fx + ext[7:8] * fy + ext[8:9]
-            ssum = sa0 + sa1 + sa2
-            iw = jnp.where(
-                ssum != 0.0, 1.0 / jnp.where(ssum == 0.0, 1.0, ssum), 0.0
-            )
-            b0 = sa0 * iw
-            b1 = sa1 * iw
-            b2 = 1.0 - b0 - b1
-
-            hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
-            rows = [
-                b0 * ext[16 + c : 17 + c]
-                + b1 * ext[24 + c : 25 + c]
-                + b2 * ext[32 + c : 33 + c]
-                for c in range(7)  # r g b x y z d
-            ]
-            prev = state_f_ref[1:9]
-            update = jnp.concatenate(
-                rows + [jnp.ones((1, LANES), jnp.float32)], axis=0
-            )
-            state_f_ref[1:9] = prev + update * hit
+            # phase 2 runs on the few chunks containing winners, so the
+            # coeff slice transpose (face-major table -> component rows)
+            # is paid ~2x per tile, not per phase-1 visit
+            cf = coeff_ref[0, pl.ds(lo, chunk), :].T  # (16, chunk)
+            at = attr_ref[0, :, pl.ds(lo, chunk)]  # (24, chunk)
+            table = jnp.concatenate([cf, at], axis=0)  # (40, chunk)
+            attr_resolve(table, lo, 0)
 
         return carry
 
@@ -437,6 +474,7 @@ def _fused_kernel(
     static_argnames=(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
+        "quadrant_split",
     ),
 )
 def render_views_fused(
@@ -449,10 +487,11 @@ def render_views_fused(
     w_diffuse: float = 0.5,
     min_depth: float = 0.001,
     max_depth: float = 4.0,
-    chunk: int = 128,
+    chunk: int = 256,
     interpret: bool = False,
     debug_phase1_only: bool = False,
     cull_backfaces: bool = True,
+    quadrant_split: bool = True,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -463,7 +502,7 @@ def render_views_fused(
     n = poses.shape[0]
     f = tables.num_faces
     assert img_h % TILE_H == 0 and img_w % TILE_W == 0
-    assert chunk == 1 << _POS_BITS, "packed depth key assumes chunk=2**_POS_BITS"
+    assert chunk in (32, 64, 128, 256, 512), "packed depth key needs 2**k chunk"
     n_ty, n_tx = img_h // TILE_H, img_w // TILE_W
     n_tiles = n_ty * n_tx
     f32 = jax.lax.Precision.HIGHEST
@@ -472,9 +511,11 @@ def render_views_fused(
     # PLANE-ORIENTED prepass: every intermediate is an (N, F) array whose
     # minor dim is the large face axis. TPU tiling pads the minor dim to 128
     # lanes, so any (N, F, small) temporary costs up to 128/small x its
-    # logical size -- a (252, 6016, 16) coefficient table is 740 MB in HBM
-    # (measured OOM). Components therefore live as separate planes and only
-    # the kernel inputs are packed, one view-group at a time.
+    # logical size -- a face-major (252, 6016, 16) coefficient table is
+    # 740 MB in HBM (measured OOM). Components therefore live as separate
+    # planes end to end; the kernel tables keep the face axis minor too
+    # ((G, 16/24, F_pad), stacked per view-group), so packing is a cheap
+    # major-axis transpose and carries zero lane padding.
     # ------------------------------------------------------------------
     fv_k = [tables.face_verts[:, k, :] for k in range(3)]  # 3 x (F, 3)
     fn_k = [tables.face_normals[:, k, :] for k in range(3)]
@@ -533,7 +574,14 @@ def render_views_fused(
     nondeg = jnp.zeros_like(w_pos)
     for p in edge_planes:
         nondeg |= p != 0.0
-    valid = w_pos & plane_ok & nondeg
+    # whole-face z-window cull: z/w is screen-affine, so corner bounds bound
+    # every interior pixel -- faces fully inside [-1, 1] need no per-pixel
+    # depth-window test in the kernel, and faces crossing the near/far plane
+    # are culled whole (the documented near-plane deviation vs nvdiffrast's
+    # sub-triangle clipping, see ops/rasterize.py)
+    zw_min = jnp.minimum(jnp.minimum(zwk[0], zwk[1]), zwk[2])
+    zw_max = jnp.maximum(jnp.maximum(zwk[0], zwk[1]), zwk[2])
+    valid = w_pos & plane_ok & nondeg & (zw_min >= -1.0) & (zw_max <= 1.0)
     if cull_backfaces and tables.backface_cull_ok:
         # Backface culling as a pure optimization: only applied when the
         # mesh-build proof (watertight + consistent outward winding, see
@@ -582,11 +630,14 @@ def render_views_fused(
     onscreen = (x1 >= 0) & (x0 < img_w) & (y1 >= 0) & (y0 < img_h)
     valid &= onscreen
 
-    # invalid faces: zero edge coefficients + an out-of-range depth plane
-    # (zw=2 fails the [-1,1] window, so the kernel needs no degeneracy
-    # guard even though zeroed edges alone would read as "covered"),
-    # plus an empty bbox so their chunks cull away
-    edge_planes = [jnp.where(valid, p, 0.0) for p in edge_planes]
+    # invalid faces: zero edge coefficients EXCEPT one constant term forced
+    # to -1, so their coverage test (min of edges >= 0) fails at every pixel
+    # without any per-pixel validity guard; plus an empty bbox so their
+    # chunks cull away
+    edge_planes = [
+        jnp.where(valid, p, -1.0 if i == 2 else 0.0)
+        for i, p in enumerate(edge_planes)
+    ]
     alpha = jnp.where(valid, alpha, 0.0)
     beta = jnp.where(valid, beta, 0.0)
     gamma = jnp.where(valid, gamma, 2.0)
@@ -607,11 +658,11 @@ def render_views_fused(
     f_pad = f + pad_f
     n_chunks = f_pad // chunk
 
-    # pad faces must also carry the out-of-range depth plane (gamma=2), or
-    # their all-zero edge functions read as covered at zw=0
-    coeff_planes = [padf(p) for p in edge_planes] + [
-        padf(alpha), padf(beta), padf(gamma, 2.0),
-    ]
+    # pad faces carry the same always-negative edge constant as invalid
+    # faces (coverage fails), and the out-of-range depth plane for hygiene
+    coeff_planes = [
+        padf(p, -1.0 if i == 2 else 0.0) for i, p in enumerate(edge_planes)
+    ] + [padf(alpha), padf(beta), padf(gamma, 2.0)]
     zeros = jnp.zeros((n, f_pad), jnp.float32)
     coeff_planes += [zeros] * 4  # pad to 16
 
@@ -670,25 +721,31 @@ def render_views_fused(
         max_depth=max_depth,
         inv_downscale=2.0 / tables.diameter,
         debug_phase1_only=debug_phase1_only,
+        quadrant_split=quadrant_split,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)
 
     def run_group(args):
-        """Pack the lane-padded kernel tables for a view GROUP only: the
-        (G, F_pad, 16/24) inputs are padded 16/24 -> 128 lanes in HBM, so
-        the whole 252-view batch at once would be ~1.5 GB of pure padding."""
+        """Run the kernel over one view GROUP. Tables are stored COMPONENT-
+        MAJOR -- (G, 16/24, F_pad) with the large face axis minor -- so the
+        lane dim is fully utilized (a face-major (F_pad, 16) layout would
+        lane-pad 16 -> 128 and cost 8x the HBM traffic, the old design)."""
         coeff_g, attr_g, bits_g, cbb_g, trans_g = args
         g = coeff_g.shape[1]
+        # coeff table FACE-MAJOR (phase 1's MXU dots want faces on
+        # sublanes; it pays 16 -> 128 lane padding in HBM), attr table
+        # COMPONENT-MAJOR (face axis on lanes, zero padding; phase 2
+        # contracts the face axis directly)
         coeffs_packed = coeff_g.transpose(1, 2, 0)  # (G, F_pad, 16)
-        attrs_packed = attr_g.transpose(1, 2, 0)  # (G, F_pad, 24)
+        attrs_packed = attr_g.transpose(1, 0, 2)  # (G, 24, F_pad)
         return pl.pallas_call(
             kernel,
             grid=(g, n_ty, n_tx),
             in_specs=[
                 pl.BlockSpec((1, f_pad, 16), lambda i, t, u: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, f_pad, 24), lambda i, t, u: (i, 0, 0),
+                pl.BlockSpec((1, 24, f_pad), lambda i, t, u: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n_tiles, w32), lambda i, t, u: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -711,10 +768,11 @@ def render_views_fused(
             interpret=interpret,
         )(coeffs_packed, attrs_packed, bits_g, cbb_g, trans_g)
 
-    # view-group size: bound the lane-padded table memory, then shrink the
+    # view-group size: bound the packed-table HBM footprint (lane-padded
+    # face-major coeffs + component-major attrs per view), then shrink the
     # group so it divides N as evenly as possible (group=31 for N=252 would
     # pad to 310 views -- 23% of the kernel time spent rendering padding)
-    group_max = max(1, min(n, (192 * 1024 * 1024) // (f_pad * 128 * 4 * 2)))
+    group_max = max(1, min(n, (192 * 1024 * 1024) // (f_pad * (128 + 24) * 4)))
     n_groups_min = -(-n // group_max)
     group = -(-n // n_groups_min)
     pad_n = (-n) % group

@@ -175,3 +175,25 @@ def test_inward_winding_normalized():
     a = np.asarray(render_views_fused(t_out, poses, clipm, CROP, CROP, interpret=True))
     b = np.asarray(render_views_fused(t_in, poses, clipm, CROP, CROP, interpret=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_kernel_knobs_are_output_invariant():
+    """chunk size and quadrant_split are pure scheduling knobs: every
+    combination must produce bit-identical images (the packed depth key's
+    pos field changes width with chunk, but the winner it selects does not
+    for non-coplanar geometry)."""
+    _, mesh, tables, poses, clipm = _setup(n_poses=2)
+    base = np.asarray(
+        render_views_fused(tables, poses, clipm, CROP, CROP, interpret=True)
+    )
+    for chunk in (64, 128, 256):
+        for split in (True, False):
+            got = np.asarray(
+                render_views_fused(
+                    tables, poses, clipm, CROP, CROP, interpret=True,
+                    chunk=chunk, quadrant_split=split,
+                )
+            )
+            np.testing.assert_array_equal(
+                got, base, err_msg=f"chunk={chunk} split={split}"
+            )

@@ -1,0 +1,100 @@
+"""Microbenchmark for the fused render megakernel (perf experiments).
+
+Times render_views_fused alone at production scale (252 views, 160x160,
+~6k-face mesh) with the same in-scan methodology as bench.py: iterations ride
+a lax.scan with optimization-barriered pose inputs so XLA cannot hoist or
+overlap them, and one host readback is the barrier.
+
+Usage: python tools/bench_fused.py [--iters 16] [--faces-lat 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--n", type=int, default=252)
+    ap.add_argument("--lat", type=int, default=48)
+    ap.add_argument("--lon", type=int, default=64)
+    ap.add_argument("--phase1-only", action="store_true")
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--no-quadrant-split", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_cpp_tpu import FoundationPoseConfig
+    from foundationpose_cpp_tpu.geometry import icosphere, transforms
+    from foundationpose_cpp_tpu.meshio import procedural
+    from foundationpose_cpp_tpu.ops import render_fused
+    from foundationpose_cpp_tpu.utils import synthetic
+
+    cfg = FoundationPoseConfig()
+    n = args.n
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]], np.float32)
+    Kj = jnp.asarray(K)
+    sphere = procedural.textured_uv_sphere(
+        radius=0.05, n_lat=args.lat, n_lon=args.lon
+    )
+    tables = render_fused.FusedMeshTables.from_asset(sphere)
+    print(f"mesh: {tables.num_faces} faces, cull_ok={tables.backface_cull_ok}")
+
+    gt = synthetic.default_pose(tz=0.6)
+    rot_grid = jnp.asarray(icosphere.make_rotation_grid())[:n]
+    poses = rot_grid.at[:, :3, 3].set(jnp.asarray(gt[:3, 3])[None])
+    hw = cfg.crop_window_h
+
+    img_h, img_w = 480, 640
+
+    def one_render(poses):
+        crop_tfs = transforms.compute_crop_window_tf(
+            poses, Kj, (hw, hw), cfg.refine_crop_ratio, tables.diameter
+        )
+        bbox2d = transforms.construct_bbox2d(crop_tfs, hw, hw)
+        clip = transforms.pose_clip_matrix(
+            poses, bbox2d, Kj, img_h, img_w, cfg.znear, cfg.zfar
+        )
+        return render_fused.render_views_fused(
+            tables, poses, clip, hw, hw,
+            w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+            debug_phase1_only=args.phase1_only, chunk=args.chunk,
+            quadrant_split=not args.no_quadrant_split,
+        )
+
+    @jax.jit
+    def loop(poses):
+        def body(carry, _):
+            p = jax.lax.optimization_barrier(poses + carry * 1e-9)
+            out = one_render(p)
+            return jnp.float32(out[0, 0, 0, 0]), out[:1, :1, :1, 0]
+
+        carry, outs = jax.lax.scan(
+            body, jnp.float32(0.0), None, length=args.iters
+        )
+        return carry, outs
+
+    carry, _ = loop(poses)
+    _ = np.asarray(carry)  # compile + settle
+    t0 = time.perf_counter()
+    carry, _ = loop(poses)
+    _ = np.asarray(carry)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"render_views_fused {n} views: {dt * 1e3:.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# allow running as `python tools/convert_onnx.py` from a source checkout
+# without installing the package
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def main() -> None:
