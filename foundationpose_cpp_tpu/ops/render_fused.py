@@ -269,27 +269,38 @@ def _fused_kernel(
     lane_span = QS if quadrant_split else LANES
     pos_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, lane_span), 0)
 
+    # block-diagonal basis: ONE (chunk, 12) x (12, 4*span) MXU dot per visit
+    # evaluates all four affine planes (3 edges + z/w) at once -- per-visit
+    # fixed cost is what phase 1 pays for, so fewer/larger dots win. Row
+    # layout: rows 3k..3k+2 carry (fx, fy, 1) in column block k.
+    def _block_diag_basis(qs):
+        blocks = []
+        for k in range(4):
+            col = [jnp.zeros((3, lane_span), jnp.float32)] * 4
+            col[k] = basis[:, qs : qs + lane_span]
+            blocks.append(jnp.concatenate(col, axis=0))  # (12, span)
+        return jnp.concatenate(blocks, axis=1)  # (12, 4*span)
+
+    n_q = 4 if quadrant_split else 1
+    basis12 = [_block_diag_basis(q * lane_span) for q in range(n_q)]
+
     # ---- phase 1: nearest-depth winner per pixel --------------------------
-    def depth_chunk_quadrant(ci, cf, qs):
-        # the 3 edge functions + z/w plane as K=3 MXU matmuls over one
-        # quadrant's (or the whole tile's) lanes; the VPU keeps only
+    def depth_chunk_quadrant(ci, cf, q, qs):
+        # all four affine planes in one MXU dot; the VPU keeps only
         # coverage + one min-reduce. Edges are orientation-normalized in
         # the prepass (covered = all >= 0); invalid/degenerate faces carry
         # an always-negative edge constant, so no degeneracy guard is
         # needed.
-        bq = basis[:, qs : qs + lane_span]
-
-        def ev(lo_col):
-            return jax.lax.dot_general(
-                cf[:, lo_col : lo_col + 3], bq,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        a0 = ev(0)
-        a1 = ev(3)
-        a2 = ev(6)
-        zw = ev(9)
+        evall = jax.lax.dot_general(
+            cf[:, 0:12], basis12[q],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, 4*span): [a0 | a1 | a2 | zw]
+        s = lane_span
+        a0 = evall[:, 0:s]
+        a1 = evall[:, s : 2 * s]
+        a2 = evall[:, 2 * s : 3 * s]
+        zw = evall[:, 3 * s : 4 * s]
         # No per-pixel z-window test: faces with any corner z/w outside
         # [-1, 1] are whole-face culled in the prepass (z/w is affine in
         # screen space, so corner bounds bound every interior pixel), and
@@ -310,7 +321,7 @@ def _fused_kernel(
         def _():
             cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
             if not quadrant_split:
-                depth_chunk_quadrant(ci, cf, 0)
+                depth_chunk_quadrant(ci, cf, 0, 0)
                 return
             cy0 = cbb_ref[0, ci, 0]
             cy1 = cbb_ref[0, ci, 1]
@@ -327,7 +338,7 @@ def _fused_kernel(
 
                 @pl.when(hit)
                 def _(q=q):
-                    depth_chunk_quadrant(ci, cf, q * QS)
+                    depth_chunk_quadrant(ci, cf, q, q * QS)
 
         return carry
 

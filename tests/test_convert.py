@@ -25,105 +25,17 @@ from foundationpose_cpp_tpu.models import checkpoint, convert, networks  # noqa:
 C_IN, W1, W2, D, HEADS, FFN, CROP = 6, 8, 16, 32, 2, 24, 32
 
 
-# --- torch replica of network_modules.py -----------------------------------
+# --- torch replica: the package-level parity oracle (models/torch_ref.py) --
+
+from foundationpose_cpp_tpu.models import torch_ref  # noqa: E402
 
 
-class ConvBNReLU(nn.Sequential):
-    def __init__(self, c_in, c_out, kernel_size=3, stride=1):
-        super().__init__(
-            nn.Conv2d(c_in, c_out, kernel_size, stride,
-                      padding=(kernel_size - 1) // 2, bias=False),
-            nn.BatchNorm2d(c_out),
-            nn.ReLU(inplace=True),
-        )
+def TorchRefineNet():
+    return torch_ref.build_modules(_jax_cfg())["RefineNet"]()
 
 
-class ResnetBasicBlock(nn.Module):
-    def __init__(self, ch):
-        super().__init__()
-        self.conv1 = nn.Conv2d(ch, ch, 3, 1, 1, bias=True)
-        self.bn1 = nn.BatchNorm2d(ch)
-        self.conv2 = nn.Conv2d(ch, ch, 3, 1, 1, bias=True)
-        self.bn2 = nn.BatchNorm2d(ch)
-        self.relu = nn.ReLU(inplace=True)
-
-    def forward(self, x):
-        out = self.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        return self.relu(out + x)
-
-
-class PositionalEmbedding(nn.Module):
-    def __init__(self, d_model, max_len):
-        super().__init__()
-        pe = torch.zeros(max_len, d_model).float()
-        position = torch.arange(0, max_len).float().unsqueeze(1)
-        div_term = (
-            torch.arange(0, d_model, 2).float() * -(math.log(10000.0) / d_model)
-        ).exp()
-        pe[:, 0::2] = torch.sin(position * div_term)
-        pe[:, 1::2] = torch.cos(position * div_term)
-        self.register_buffer("pe", pe.unsqueeze(0))
-
-    def forward(self, x):
-        return x + self.pe[:, : x.size(1)]
-
-
-class _Backbone(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.encodeA = nn.Sequential(
-            ConvBNReLU(C_IN, W1, 7, 2),
-            ConvBNReLU(W1, W2, 3, 2),
-            ResnetBasicBlock(W2),
-        )
-        self.encodeAB = nn.Sequential(
-            ResnetBasicBlock(2 * W2),
-            ConvBNReLU(2 * W2, D, 3, 2),
-            ResnetBasicBlock(D),
-        )
-        self.pos_embed = PositionalEmbedding(D, max_len=(CROP // 8) ** 2)
-        layer = nn.TransformerEncoderLayer(
-            d_model=D, nhead=HEADS, dim_feedforward=FFN, dropout=0.0,
-            batch_first=True,
-        )
-        self.encoder = nn.TransformerEncoder(layer, num_layers=1)
-
-    def embed(self, a, b):
-        bs = len(a)
-        x = torch.cat([a, b], dim=0)
-        x = self.encodeA(x)
-        ab = torch.cat((x[:bs], x[bs:]), dim=1)
-        ab = self.encodeAB(ab)
-        ab = self.pos_embed(ab.reshape(bs, ab.shape[1], -1).permute(0, 2, 1))
-        ab = self.encoder(ab)
-        return ab.mean(dim=1)
-
-
-class TorchRefineNet(_Backbone):
-    def __init__(self):
-        super().__init__()
-        self.trans_head = nn.Sequential(nn.Linear(D, 3))
-        self.rot_head = nn.Sequential(nn.Linear(D, 3))
-
-    def forward(self, a, b):
-        f = self.embed(a, b)
-        return self.trans_head(f), self.rot_head(f)
-
-
-class TorchScoreNetMultiPair(_Backbone):
-    def __init__(self):
-        super().__init__()
-        self.att_cross = nn.TransformerEncoderLayer(
-            d_model=D, nhead=HEADS, dim_feedforward=FFN, dropout=0.0,
-            batch_first=True,
-        )
-        self.score_head = nn.Sequential(nn.Linear(D, 1))
-
-    def forward(self, a, b):
-        f = self.embed(a, b)  # (N, D)
-        f = self.att_cross(f.unsqueeze(0)).squeeze(0)  # attend across poses
-        return self.score_head(f)
+def TorchScoreNetMultiPair():
+    return torch_ref.build_modules(_jax_cfg(cross=True))["ScoreNetMultiPair"]()
 
 
 # --- helpers ----------------------------------------------------------------
@@ -303,3 +215,29 @@ def test_converted_params_run_in_bf16_pipeline_dtype():
     a, b = _inputs(n=2)
     out = networks.apply_refiner(params, jnp.asarray(a), jnp.asarray(b), cfg)
     assert np.isfinite(np.asarray(out["trans"])).all()
+
+
+def test_torch_oracle_infer_core_matches_xla_core():
+    """The named-blob parity oracle (TorchRefInferCore) and XlaInferCore
+    agree on identical weights -- the cross-framework check the reference
+    performs manually against onnxruntime outputs."""
+    from foundationpose_cpp_tpu.models import infer_core
+
+    torch.manual_seed(3)
+    cfg = _jax_cfg()
+    oracle = torch_ref.create_refiner_oracle(cfg)
+    params, _ = convert.convert_state_dict(
+        torch_ref.state_dict_numpy(oracle._net), "refiner", cfg
+    )
+    core = infer_core.create_refiner_core(params, cfg)
+    a, b = _inputs(n=2, seed=7)
+    blobs = {"render_input": a, "transf_input": b}
+    got = core.infer({k: jnp.asarray(v) for k, v in blobs.items()})
+    want = oracle.infer(blobs)
+    assert oracle.output_names() == core.output_names() == ("trans", "rot")
+    np.testing.assert_allclose(
+        np.asarray(got["trans"]), want["trans"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["rot"]), want["rot"], rtol=1e-4, atol=1e-5
+    )
