@@ -66,6 +66,7 @@ QS = 256  # lanes per 16x16 quadrant (quadrant-major lane layout)
 # bitcast(z/w + 1.5); chunk size must be a power of two (the pos mask is
 # chunk-1), so depth is quantized by `chunk` ulps (~3e-5 at chunk=128)
 _BIG_I = 0x7F000000  # > any packed key (zw+1.5 in [0.5, 2.5]); fits int32
+_UNROLL_MAX = 64  # chunk loops fully unroll up to this many chunks
 
 
 def sample_texture_at_uv(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -342,7 +343,15 @@ def _fused_kernel(
 
         return carry
 
-    jax.lax.fori_loop(0, n_chunks, depth_body, 0)
+    # fully unroll small chunk loops: the fori trip machinery costs ~50
+    # cycles per (tile, chunk) even when the chunk is dead, and typical
+    # meshes have only ~24 chunks (empty-scene floor measured 17.6 ms of a
+    # 47.6 ms phase 1); large meshes fall back to fori to bound compile time
+    if n_chunks <= _UNROLL_MAX:
+        for _ci in range(n_chunks):
+            depth_body(_ci, 0)
+    else:
+        jax.lax.fori_loop(0, n_chunks, depth_body, 0)
     packed_key = state_i_ref[0:1]
     win_chunk = state_i_ref[1:2]
     fg_bool = packed_key < _BIG_I
@@ -397,7 +406,7 @@ def _fused_kernel(
             table, mf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (40, span): winner's scalars per pixel (0 where no winner)
+        )  # (33, span): winner's scalars per pixel (0 where no winner)
 
         fx_q = fx[:, qs : qs + span]
         fy_q = fy[:, qs : qs + span]
@@ -414,9 +423,9 @@ def _fused_kernel(
 
         hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
         rows = [
-            b0 * ext[16 + c : 17 + c]
-            + b1 * ext[24 + c : 25 + c]
-            + b2 * ext[32 + c : 33 + c]
+            b0 * ext[9 + c : 10 + c]
+            + b1 * ext[17 + c : 18 + c]
+            + b2 * ext[25 + c : 26 + c]
             for c in range(7)  # r g b x y z d
         ]
         prev = state_f_ref[1:9, qs : qs + span]
@@ -442,13 +451,19 @@ def _fused_kernel(
             # phase 2 runs on the few chunks containing winners, so the
             # coeff slice transpose (face-major table -> component rows)
             # is paid ~2x per tile, not per phase-1 visit
-            cf = coeff_ref[0, pl.ds(lo, chunk), :].T  # (16, chunk)
+            # only the 9 edge rows are needed (z/w plane + pad rows of the
+            # coeff table are phase-1-only), so the extraction dot is
+            # (33, chunk) not (40, chunk)
+            cf = coeff_ref[0, pl.ds(lo, chunk), 0:9].T  # (9, chunk)
             at = attr_ref[0, :, pl.ds(lo, chunk)]  # (24, chunk)
-            table = jnp.concatenate([cf, at], axis=0)  # (40, chunk)
+            table = jnp.concatenate([cf, at], axis=0)  # (33, chunk)
             attr_resolve(table, lo, 0)
 
         return carry
 
+    # phase 2 stays a fori loop: unrolling it was measured 6x SLOWER
+    # (199 ms full render) -- the per-iteration transpose + concat inside
+    # the predicated region blow up when replicated 24x
     jax.lax.fori_loop(0, n_chunks, attr_body, 0)
     st = state_f_ref[1:9]
     r, g, b = st[0:1], st[1:2], st[2:3]

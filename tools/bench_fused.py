@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--phase1-only", action="store_true")
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--no-quadrant-split", action="store_true")
+    ap.add_argument("--tz", type=float, default=0.6,
+                    help="object distance; large values cull ~everything, "
+                         "isolating fixed loop overhead from live visits")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +55,7 @@ def main() -> None:
     tables = render_fused.FusedMeshTables.from_asset(sphere)
     print(f"mesh: {tables.num_faces} faces, cull_ok={tables.backface_cull_ok}")
 
-    gt = synthetic.default_pose(tz=0.6)
+    gt = synthetic.default_pose(tz=args.tz)
     rot_grid = jnp.asarray(icosphere.make_rotation_grid())[:n]
     poses = rot_grid.at[:, :3, 3].set(jnp.asarray(gt[:3, 3])[None])
     hw = cfg.crop_window_h
