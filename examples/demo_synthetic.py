@@ -37,11 +37,37 @@ def draw_3d_bbox(rgb, K, pose_bbox, dimension):
     return _draw(rgb, K, pose_bbox, dimension)
 
 
+def _load_or_init(weights_dir: str | None, kind: str, mesh_name: str,
+                  net: str, net_cfg, seed: int):
+    """Load trained npz weights when available, else seeded random init."""
+    from foundationpose_cpp_tpu.models import checkpoint
+
+    if weights_dir:
+        for cand in (
+            f"{kind}_{mesh_name}_{net}.npz",
+            f"{kind}_cube_{net}.npz",
+            f"{kind}.npz",
+        ):
+            p = pathlib.Path(weights_dir) / cand
+            if p.exists():
+                print(f"  loading {kind} weights: {p}")
+                return checkpoint.load_params(str(p))
+        print(f"  (no {kind} weights under {weights_dir}; using random init)")
+    init = networks.init_refiner if kind == "refiner" else networks.init_scorer
+    return init(seed, net_cfg)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--out", type=str, default="/tmp/fp_demo")
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
+    ap.add_argument("--mesh", default="cube", choices=["cube", "cube6"],
+                    help="cube6 = face-colored (pose-unique) variant")
+    ap.add_argument("--weights", default=None,
+                    help="directory of trained npz weights "
+                         "(tools/train_synthetic.py --out)")
+    ap.add_argument("--net", default="full", choices=["full", "small"])
     args = ap.parse_args()
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -49,13 +75,22 @@ def main() -> None:
     h, w = args.hw
     K = np.array([[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]], np.float32)
     cfg = FoundationPoseConfig()
-    cube = procedural.textured_cube(size=0.1)
+    if args.net == "full":
+        net_cfg = networks.NetConfig()
+    else:
+        net_cfg = networks.NetConfig(
+            width1=32, width2=64, embed_dim=256, ffn_dim=256
+        )
+    if args.mesh == "cube6":
+        cube = procedural.face_colored_cube(name="cube")
+    else:
+        cube = procedural.textured_cube(size=0.1)
     mesh = MeshConstants.from_asset(cube)
 
     model = create_foundationpose_model(
-        networks.init_refiner(0),
-        networks.init_scorer(1),
-        [cube], K, h, w, config=cfg,
+        _load_or_init(args.weights, "refiner", args.mesh, args.net, net_cfg, 0),
+        _load_or_init(args.weights, "scorer", args.mesh, args.net, net_cfg, 1),
+        [cube], K, h, w, config=cfg, net_config=net_cfg,
     )
 
     # ground-truth trajectory: slow rotation + drift
@@ -87,13 +122,23 @@ def main() -> None:
     cv2.imwrite(str(out_dir / "register_bbox.png"), img[..., ::-1])
     print(f"  wrote {out_dir / 'register_bbox.png'}")
 
+    from foundationpose_cpp_tpu.utils import metrics
+
+    gt0 = gt_pose(0)
+    print(f"  register err: rot {metrics.rotation_error_deg(pose, gt0):.1f} deg, "
+          f"t {metrics.translation_error(pose, gt0):.4f} m, "
+          f"ADD-S {metrics.adds_error(pose, gt0, cube.vertices):.4f} m")
+
     print("Track over frames...")
     for i, (rgb, depth, _) in enumerate(frames[1:], start=1):
         t0 = time.perf_counter()
         pose = model.track(rgb, depth, pose, "cube")
         dt = time.perf_counter() - t0
-        err = np.linalg.norm(pose[:3, 3] - gt_pose(i)[:3, 3])
-        print(f"  frame {i}: {dt * 1e3:7.1f} ms  |t err| = {err:.4f} m")
+        gt_i = gt_pose(i)
+        err = np.linalg.norm(pose[:3, 3] - gt_i[:3, 3])
+        rerr = metrics.rotation_error_deg(pose, gt_i)
+        print(f"  frame {i}: {dt * 1e3:7.1f} ms  |t err| = {err:.4f} m  "
+              f"rot err = {rerr:5.1f} deg")
         img = draw_3d_bbox(rgb, K, model.convert_pose_mesh2bbox(pose, "cube"),
                            model.object_dimension("cube"))
         cv2.imwrite(str(out_dir / f"track_{i:03d}.png"), img[..., ::-1])

@@ -246,6 +246,52 @@ def axis_angle_to_matrix(rotvec: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(angle[..., None] < 1e-12, eye, mat)
 
 
+def matrix_to_axis_angle(mat: jnp.ndarray) -> jnp.ndarray:
+    """Batched rotation log map: (N,3,3) matrices -> (N,3) rotation vectors.
+
+    Inverse of axis_angle_to_matrix for angles in [0, pi). Used by the
+    synthetic trainer to derive refiner rotation targets (the delta the net
+    must output so apply_refine_delta lands on the ground truth); the
+    reference has no equivalent because its nets arrive pre-trained.
+    Safe at angle=0; numerically stable near 0 via the sinc expansion.
+    """
+    trace = mat[..., 0, 0] + mat[..., 1, 1] + mat[..., 2, 2]
+    cos_a = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    angle = jnp.arccos(cos_a)  # (N,)
+    # skew part: (R - R^T)/2 = sin(angle) * [axis]_x
+    sx = (mat[..., 2, 1] - mat[..., 1, 2]) * 0.5
+    sy = (mat[..., 0, 2] - mat[..., 2, 0]) * 0.5
+    sz = (mat[..., 1, 0] - mat[..., 0, 1]) * 0.5
+    s = jnp.stack([sx, sy, sz], axis=-1)  # sin(angle) * axis
+    # rotvec = angle * axis = s * angle / sin(angle); series for small angle
+    sin_a = jnp.sin(angle)
+    factor = jnp.where(
+        angle < 1e-4,
+        1.0 + angle**2 / 6.0,  # angle/sin(angle) ~ 1 + a^2/6
+        angle / jnp.maximum(sin_a, 1e-12),
+    )
+    rv = s * factor[..., None]
+    # near pi, sin(angle)->0 and the skew part degenerates; recover the axis
+    # from the symmetric part diag(R) = c + axis^2 (1-c)
+    axis2 = jnp.clip(
+        (jnp.stack([mat[..., 0, 0], mat[..., 1, 1], mat[..., 2, 2]], axis=-1)
+         - cos_a[..., None]) / jnp.maximum(1.0 - cos_a[..., None], 1e-12),
+        0.0, 1.0,
+    )
+    axis_pi = jnp.sqrt(axis2)
+    # signs from the symmetric off-diagonals (x*y, x*z known up to global sign;
+    # fix sign of the largest component positive -- rotvec ~ -rotvec at pi)
+    xy = mat[..., 0, 1] + mat[..., 1, 0]
+    xz = mat[..., 0, 2] + mat[..., 2, 0]
+    sign_y = jnp.where(xy < 0, -1.0, 1.0)
+    sign_z = jnp.where(xz < 0, -1.0, 1.0)
+    axis_pi = axis_pi * jnp.stack(
+        [jnp.ones_like(sign_y), sign_y, sign_z], axis=-1
+    )
+    rv_pi = axis_pi * angle[..., None]
+    return jnp.where((jnp.pi - angle[..., None]) < 1e-3, rv_pi, rv)
+
+
 def apply_refine_delta(
     poses: jnp.ndarray,
     trans_out: jnp.ndarray,

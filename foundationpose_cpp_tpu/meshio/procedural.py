@@ -57,6 +57,71 @@ def textured_cube(name: str = "cube", size: float = 0.1) -> MeshAsset:
     )
 
 
+def face_atlas_texture(size: int = 96) -> np.ndarray:
+    """(size, size, 3) atlas: 3x2 grid of distinct colors with gradients.
+
+    Each cell is one cube face; the within-cell brightness gradient breaks
+    in-plane flip symmetry so a pose is visually unique."""
+    colors = [
+        (0.90, 0.15, 0.15), (0.15, 0.80, 0.20), (0.20, 0.30, 0.90),
+        (0.95, 0.80, 0.10), (0.90, 0.20, 0.85), (0.10, 0.85, 0.85),
+    ]
+    tex = np.zeros((size, size, 3), np.float32)
+    ch, cw = size // 2, size // 3
+    gy = np.linspace(0.55, 1.0, ch)[:, None, None]
+    gx = np.linspace(0.70, 1.0, cw)[None, :, None]
+    for idx, c in enumerate(colors):
+        y0, x0 = (idx // 3) * ch, (idx % 3) * cw
+        tex[y0 : y0 + ch, x0 : x0 + cw] = np.clip(
+            np.asarray(c, np.float32)[None, None] * gy * gx, 0.0, 1.0
+        )
+    return tex
+
+
+def face_colored_cube(name: str = "cube6", size: float = 0.1) -> MeshAsset:
+    """Cube with a DISTINCT color per face (atlas UVs) -- no symmetry.
+
+    The checkerboard textured_cube looks identical under 90-degree
+    rotations, which makes rotation-error metrics meaningless; this asset
+    is the pose-unique variant used by the synthetic trainer and demos.
+    """
+    s = size / 2.0
+    verts, uvs, normals, faces = [], [], [], []
+    face_idx = 0
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            u_axis, v_axis = [a for a in range(3) if a != axis]
+            base = len(verts)
+            cx, cy = face_idx % 3, face_idx // 3
+            for du, dv in [(-1, -1), (1, -1), (1, 1), (-1, 1)]:
+                p = [0.0, 0.0, 0.0]
+                p[axis] = sign * s
+                p[u_axis] = du * s
+                p[v_axis] = dv * s
+                verts.append(p)
+                # inset 5% so bilinear-wrap sampling never bleeds across cells
+                uvs.append([
+                    (cx + 0.05 + 0.9 * (du + 1) / 2) / 3.0,
+                    (cy + 0.05 + 0.9 * (dv + 1) / 2) / 2.0,
+                ])
+                n = [0.0, 0.0, 0.0]
+                n[axis] = sign
+                normals.append(n)
+            if sign > 0:
+                faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+            else:
+                faces += [[base, base + 2, base + 1], [base, base + 3, base + 2]]
+            face_idx += 1
+    return make_mesh_asset(
+        name,
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        np.asarray(uvs, np.float32),
+        np.asarray(normals, np.float32),
+        face_atlas_texture(),
+    )
+
+
 def textured_uv_sphere(
     name: str = "sphere",
     radius: float = 0.05,

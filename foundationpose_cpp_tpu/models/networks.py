@@ -117,6 +117,45 @@ def _conv_relu(x, p, stride=1):
     return jax.nn.relu(_conv(x, p["w"], p["b"], stride=stride))
 
 
+def _conv0_s2d(x, w, b):
+    """The 7x7/stride-2 stem conv as a space-to-depth 4x4/stride-1 conv.
+
+    Mathematically identical to _conv(x, w, b, stride=2) with torch pad 3
+    (tests/test_training.py pins the equivalence). Kept as a measured
+    NEGATIVE result: the direct stem runs at ~10% MXU utilization (cin=6,
+    strided 7x7), but on v5e the 2x2-pixel blocking shuffle costs more than
+    the denser 4x4x24 contraction saves (encodeA 9.7 -> 10.9 ms at 2x252;
+    tools/bench_attn.py is the harness). Weights stay in the published
+    7x7x6x64 layout and are reshaped on the fly.
+
+    Derivation: out[o] = sum_i xpad[2o+i] w[i], i in 0..6, pad 3. Writing
+    the padded row index as 2(o+d)+r (block d = o..o+3, parity r) gives
+    i = 2d+r, i.e. a VALID 4-tap conv over 2x2-blocked pixels with the
+    8th (zero-padded) tap never read.
+    """
+    kh, kw, c, o = w.shape
+    n, h, wd, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))  # (N, H+6, W+6, C)
+    hp, wp = h + 6, wd + 6
+    xb = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # 7 -> 8 taps
+    wb = (
+        w8.reshape(4, 2, 4, 2, c, o)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * c, o)
+    )
+    out = jax.lax.conv_general_dilated(
+        xb,
+        wb.astype(xb.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + b.astype(jnp.float32)).astype(x.dtype)
+
+
 def _res_block(x, p):
     """ResnetBasicBlock (network_modules.py): conv-bn-relu-conv-bn + skip."""
     h = jax.nn.relu(_conv(x, p["w1"], p["b1"]))

@@ -128,25 +128,54 @@ def render_and_transform(
         poses, bbox2d, K, h, w, cfg.znear, cfg.zfar
     )
 
+    render_input = render_branch(
+        mesh, poses, clip_mat, ch, cw, cfg, rasterize_fn, use_fused
+    )
+
+    # ---- observed branch (TransfProcess) ----
     if use_fused:
-        # TPU production path: one megakernel for the render branch, MXU
-        # matmuls for the observed branch -- zero per-pixel gathers
+        rgb_crop = warp.warp_crop_linear_u8_mxu(rgb, tfs, ch, cw)
+        xyz_crop = warp.warp_crop_nearest_f32_mxu(xyz_map, tfs, ch, cw)
+    else:
+        rgb_crop = warp.warp_crop_linear_u8(rgb, tfs, ch, cw)
+        xyz_crop = warp.warp_crop_nearest_f32(xyz_map, tfs, ch, cw)
+    xyz_crop = pointcloud.threshold_and_downscale_pointcloud(
+        xyz_crop, poses, mesh.diameter / 2.0, cfg.min_depth, cfg.max_depth
+    )
+    transf_input = pointcloud.concat_channels(rgb_crop, xyz_crop)
+    return render_input, transf_input
+
+
+def render_branch(
+    mesh: MeshConstants,
+    poses: jnp.ndarray,
+    clip_mat: jnp.ndarray,
+    ch: int,
+    cw: int,
+    cfg: FoundationPoseConfig,
+    rasterize_fn: Any = None,
+    use_fused: bool = False,
+) -> jnp.ndarray:
+    """Render branch only: N poses through clip matrices -> (N, ch, cw, 6).
+
+    The RenderProcess half of RenderAndTransform (NvdiffrastRender,
+    foundationpose_render.cpp:611-683 + threshold/concat :685-729): raster,
+    barycentric attributes, texture, Lambert shade, v-flip, xyz
+    threshold/diameter-downscale. Shared by the inference pipeline and the
+    synthetic trainer (which renders observed frames with a full-image
+    bbox, like utils.synthetic but traced).
+    """
+    rasterizer = rasterize_fn if rasterize_fn is not None else ras.rasterize
+    if use_fused:
+        # TPU production path: one megakernel, zero per-pixel gathers
         from foundationpose_cpp_tpu.ops.render_fused import render_views_fused
 
-        render_input = render_views_fused(
+        return render_views_fused(
             mesh.fused, poses, clip_mat, ch, cw,
             w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
         )
-        rgb_crop = warp.warp_crop_linear_u8_mxu(rgb, tfs, ch, cw)
-        xyz_crop = warp.warp_crop_nearest_f32_mxu(xyz_map, tfs, ch, cw)
-        xyz_crop = pointcloud.threshold_and_downscale_pointcloud(
-            xyz_crop, poses, mesh.diameter / 2.0, cfg.min_depth, cfg.max_depth
-        )
-        transf_input = pointcloud.concat_channels(rgb_crop, xyz_crop)
-        return render_input, transf_input
 
-    # ---- render branch (RenderProcess / NvdiffrastRender) ----
     clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)
     rast = rasterizer(clip, mesh.faces, ch, cw, face_valid=mesh.face_valid)
 
@@ -175,14 +204,4 @@ def render_and_transform(
     xyz_render = pointcloud.threshold_and_downscale_pointcloud(
         xyz_render, poses, mesh.diameter / 2.0, cfg.min_depth, cfg.max_depth
     )
-    render_input = pointcloud.concat_channels(color, xyz_render)
-
-    # ---- observed branch (TransfProcess) ----
-    rgb_crop = warp.warp_crop_linear_u8(rgb, tfs, ch, cw)
-    xyz_crop = warp.warp_crop_nearest_f32(xyz_map, tfs, ch, cw)
-    xyz_crop = pointcloud.threshold_and_downscale_pointcloud(
-        xyz_crop, poses, mesh.diameter / 2.0, cfg.min_depth, cfg.max_depth
-    )
-    transf_input = pointcloud.concat_channels(rgb_crop, xyz_crop)
-
-    return render_input, transf_input
+    return pointcloud.concat_channels(color, xyz_render)

@@ -1,0 +1,131 @@
+"""A/B micro-bench of transformer-encoder variants (perf harness).
+
+Times the full encoder layer at N=252, T=400, D=512 under different
+numerics: (a) production (f32 logits+softmax), (b) bf16 logits+softmax,
+(c) bf16 with f32 max-subtraction. Also A/Bs the encodeA stem conv
+(direct 7x7/s2 vs space-to-depth). Run on TPU.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_cpp_tpu.models import networks
+
+    cfg = networks.NetConfig()
+    it, n, t, d = 8, 252, cfg.num_tokens, cfg.embed_dim
+    nh = cfg.num_heads
+    hd = d // nh
+    rng = np.random.default_rng(0)
+    params = networks.init_refiner(0, cfg)
+    layer = params["encoder"][0]
+    toks = jnp.asarray(
+        rng.uniform(size=(it, n, t, d)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def timed(name, fn, *xs):
+        def outer(*stacks):
+            def step(c, x):
+                return c + fn(*x), None
+
+            c, _ = jax.lax.scan(step, jnp.float32(0.0), stacks)
+            return c
+
+        f = jax.jit(outer)
+        _ = np.asarray(f(*xs))
+        t0 = time.perf_counter()
+        _ = np.asarray(f(*xs))
+        dt = (time.perf_counter() - t0) / it * 1e3
+        print(f"{name:34s} {dt:8.2f} ms/iter")
+
+    import math
+
+    p = layer["attn"]
+
+    def attn_core(x, logits_dtype, softmax_f32):
+        qkv = networks._linear(x, p["qkv_w"], p["qkv_b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(a):
+            return a.reshape(n, t, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q / math.sqrt(hd)
+        logits = jnp.einsum(
+            "nhqd,nhkd->nhqk", q, k, preferred_element_type=logits_dtype
+        )
+        if softmax_f32:
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        else:
+            attn = jax.nn.softmax(logits, axis=-1)
+        attn = attn.astype(x.dtype)
+        out = jnp.einsum(
+            "nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(n, t, d).astype(x.dtype)
+        return networks._linear(out, p["proj_w"], p["proj_b"])
+
+    def full_layer(x, logits_dtype, softmax_f32):
+        x = networks._layer_norm(
+            x + attn_core(x, logits_dtype, softmax_f32),
+            layer["ln1_s"], layer["ln1_b"],
+        )
+        h = jax.nn.relu(networks._linear(x, layer["mlp_w1"], layer["mlp_b1"]))
+        h = networks._linear(h, layer["mlp_w2"], layer["mlp_b2"])
+        return networks._layer_norm(
+            x + h, layer["ln2_s"], layer["ln2_b"]
+        ).sum().astype(jnp.float32)
+
+    timed("(a) production f32 logits", lambda x: full_layer(x, jnp.float32, True), toks)
+    timed("(b) bf16 logits + bf16 softmax", lambda x: full_layer(x, jnp.bfloat16, False), toks)
+    timed("(c) bf16 logits + f32 softmax", lambda x: full_layer(x, jnp.bfloat16, True), toks)
+
+    # accuracy of (b) vs (a) on one batch
+    xa = toks[0]
+    ya = full_layer(xa, jnp.float32, True)
+    yb = full_layer(xa, jnp.bfloat16, False)
+    print(f"sum-output rel diff (b vs a): "
+          f"{abs(float(ya) - float(yb)) / abs(float(ya)):.2e}")
+
+    # stem conv A/B
+    crops = jnp.asarray(
+        rng.uniform(size=(it, 2 * n, cfg.crop_hw, cfg.crop_hw, 6)).astype(np.float32)
+    )
+    pc = params["encodeA"]["conv0"]
+
+    def direct(x):
+        return networks._conv(
+            x.astype(cfg.dtype), pc["w"], pc["b"], stride=2
+        ).sum().astype(jnp.float32)
+
+    def s2d(x):
+        return networks._conv0_s2d(
+            x.astype(cfg.dtype), pc["w"], pc["b"]
+        ).sum().astype(jnp.float32)
+
+    def s2d_pre_bf16(x):
+        # cast to bf16 BEFORE the pad/block shuffle (half the shuffle bytes)
+        return networks._conv0_s2d(
+            x.astype(jnp.bfloat16), pc["w"], pc["b"]
+        ).sum().astype(jnp.float32)
+
+    timed("conv0 direct 7x7/s2", direct, crops)
+    timed("conv0 space-to-depth", s2d, crops)
+    timed("conv0 s2d (pre-cast bf16)", s2d_pre_bf16, crops)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Train the refiner/scorer on synthetic render pairs and evaluate them.
+
+The reference consumes NVIDIA's pre-trained checkpoints (out-of-band
+download, reference README.md:72). This tool is the in-repo alternative:
+it trains the same published topology with this framework's own renderer
+(foundationpose_cpp_tpu.training) and reports end-to-end Register/Track
+accuracy on held-out synthetic scenes, so the pipeline is functionally
+accurate without any external file.
+
+Usage (TPU, ~10-20 min with defaults):
+  python tools/train_synthetic.py --out weights/
+  python tools/train_synthetic.py --net small --refiner-steps 800 \
+      --scorer-steps 600 --eval-scenes 4      # quick run
+
+Then:
+  python examples/demo_synthetic.py --weights weights/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def build_mesh(name: str):
+    from foundationpose_cpp_tpu.meshio import mesh_loader, procedural
+
+    if name == "cube":
+        return procedural.textured_cube(size=0.1)
+    if name == "cube6":
+        # face-colored, pose-unique: the default training target (the
+        # checkerboard cube is symmetric under 90-degree rotations, which
+        # caps what any scorer/refiner can learn)
+        return procedural.face_colored_cube(name="cube")
+    if name == "sphere":
+        return procedural.textured_uv_sphere(radius=0.05, n_lat=24, n_lon=32)
+    return mesh_loader.load_mesh(name)
+
+
+def evaluate(
+    asset, params_r, params_s, cfg, net_cfg, tcfg, n_scenes, seed, use_fused
+):
+    """Register + short Track on held-out scenes; returns metric dict."""
+    import jax.numpy as jnp
+
+    from foundationpose_cpp_tpu.geometry import icosphere
+    from foundationpose_cpp_tpu.pipeline.foundationpose import (
+        register_step,
+        track_step,
+    )
+    from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+    from foundationpose_cpp_tpu.training import synthetic as tr
+    from foundationpose_cpp_tpu.utils import metrics
+
+    mesh = MeshConstants.from_asset(asset)
+    K = tr.default_intrinsics(tcfg)
+    Kj = jnp.asarray(K)
+    rot_grid = jnp.asarray(icosphere.make_rotation_grid())
+    import jax
+
+    root = jax.random.PRNGKey(seed + 777)
+    rows = []
+    for i in range(n_scenes):
+        key = jax.random.fold_in(root, i)
+        gt = np.asarray(tr.sample_scene_poses(key, 1, tcfg))[0]
+        rgb_j, depth_j = tr.render_observed(
+            mesh, jnp.asarray(gt[None]), Kj, tcfg.frame_hw, tcfg.frame_hw,
+            cfg, use_fused=use_fused,
+        )
+        rgb = np.asarray(rgb_j)[0]
+        depth = np.asarray(depth_j)[0]
+        mask = (depth > 0).astype(np.uint8) * 255
+        best, poses, scores, ok = register_step(
+            mesh, params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
+            jnp.asarray(mask), rot_grid, Kj, 1, cfg, net_cfg,
+            use_fused=use_fused,
+        )
+        best = np.asarray(best)
+        # track from the registered pose on the same frame (refine_itr=3
+        # emulates 3 tracked frames of a static scene)
+        tracked = np.asarray(
+            track_step(
+                mesh, params_r, jnp.asarray(rgb), jnp.asarray(depth),
+                jnp.asarray(best[None]), Kj, 3, cfg, net_cfg,
+                use_fused=use_fused,
+            )
+        )[0]
+        pts = np.asarray(asset.vertices)
+        rows.append(
+            {
+                "register_rot_deg": metrics.rotation_error_deg(best, gt),
+                "register_t_err": metrics.translation_error(best, gt),
+                "register_adds": metrics.adds_error(best, gt, pts),
+                "tracked_rot_deg": metrics.rotation_error_deg(tracked, gt),
+                "tracked_t_err": metrics.translation_error(tracked, gt),
+                "tracked_adds": metrics.adds_error(tracked, gt, pts),
+            }
+        )
+    out = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    out["n_scenes"] = n_scenes
+    out["diameter"] = float(asset.diameter)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default="cube", help="cube | sphere | path.obj")
+    ap.add_argument("--net", default="full", choices=["full", "small"])
+    ap.add_argument("--refiner-steps", type=int, default=4000)
+    ap.add_argument("--scorer-steps", type=int, default=2500)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="weights")
+    ap.add_argument("--eval-scenes", type=int, default=8)
+    ap.add_argument("--skip-refiner", action="store_true")
+    ap.add_argument("--skip-scorer", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_cpp_tpu import FoundationPoseConfig, networks
+    from foundationpose_cpp_tpu.models import checkpoint
+    from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+    from foundationpose_cpp_tpu.training import synthetic as tr
+
+    use_fused = jax.default_backend() == "tpu"
+    cfg = FoundationPoseConfig()
+    if args.net == "full":
+        net_cfg = networks.NetConfig()
+    else:
+        net_cfg = networks.NetConfig(
+            width1=32, width2=64, embed_dim=256, ffn_dim=256
+        )
+    tcfg = tr.SyntheticTrainConfig(batch=args.batch, lr=args.lr)
+    asset = build_mesh(args.mesh)
+    mesh = MeshConstants.from_asset(asset)
+    os.makedirs(args.out, exist_ok=True)
+    tag = f"{os.path.splitext(os.path.basename(args.mesh))[0]}_{args.net}"
+
+    def log(msg):
+        print(msg, flush=True)
+
+    def to_bf16(tree):
+        # heads/bias/norm params stay f32 (matching init); conv/linear
+        # weights go bf16 like init_* emits
+        def cast(a):
+            return a.astype(jnp.bfloat16) if a.ndim >= 2 else a
+
+        return jax.tree.map(cast, tree)
+
+    t0 = time.perf_counter()
+    if not args.skip_refiner:
+        log(f"training refiner ({args.refiner_steps} steps, "
+            f"batch {tcfg.batch}, mesh {args.mesh}, net {args.net})...")
+        params_r = tr.train_refiner(
+            mesh, cfg, net_cfg, tcfg, steps=args.refiner_steps,
+            seed=args.seed, use_fused=use_fused, log=log,
+        )
+        params_r = to_bf16(params_r)
+        path_r = os.path.join(args.out, f"refiner_{tag}.npz")
+        checkpoint.save_params(params_r, path_r)
+        log(f"saved {path_r}")
+    else:
+        params_r = networks.init_refiner(args.seed, net_cfg)
+
+    if not args.skip_scorer:
+        log(f"training scorer ({args.scorer_steps} steps)...")
+        params_s = tr.train_scorer(
+            mesh, cfg, net_cfg, tcfg, steps=args.scorer_steps,
+            seed=args.seed + 1, use_fused=use_fused, log=log,
+        )
+        params_s = to_bf16(params_s)
+        path_s = os.path.join(args.out, f"scorer_{tag}.npz")
+        checkpoint.save_params(params_s, path_s)
+        log(f"saved {path_s}")
+    else:
+        params_s = networks.init_scorer(args.seed + 1, net_cfg)
+
+    if args.eval_scenes <= 0:
+        log(f"training done in {time.perf_counter() - t0:.0f}s (eval skipped)")
+        return
+    log(f"training done in {time.perf_counter() - t0:.0f}s; evaluating on "
+        f"{args.eval_scenes} held-out scenes...")
+    report = evaluate(
+        asset, params_r, params_s, cfg, net_cfg, tcfg, args.eval_scenes,
+        args.seed, use_fused,
+    )
+    report["net"] = args.net
+    report["mesh"] = args.mesh
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
