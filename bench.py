@@ -105,7 +105,7 @@ def main() -> None:
     track_fps_percall = percall_iters / percall_dt
 
     # ---- Register: repeated scan (reference: 50 reps of the same frame)
-    reg_iters = 16
+    reg_iters = 32
 
     # Hoisting honesty: optimization_barrier is elementwise (tuple elements
     # do not entangle), so loop-invariant inputs still hoist -- a barriered

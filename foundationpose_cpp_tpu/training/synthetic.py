@@ -54,10 +54,17 @@ class SyntheticTrainConfig:
     rot_max_deg: float = 25.0
     trans_frac: float = 0.3  # |t_err| <= frac * diameter/2 per axis
 
-    # scorer hypothesis spread (must cover post-refine residuals AND the
-    # register grid's ~30 degree nearest-rotation gap)
-    scorer_rot_max_deg: float = 50.0
+    # scorer hypothesis spread: must cover post-refine residuals, the
+    # register grid's ~30 degree nearest-rotation gap, AND far-off poses --
+    # a scorer trained only to 50 degrees cannot reject geometric-symmetry
+    # flips (measured: 90-degree-flipped cube poses won the argmax because
+    # flips were out of distribution), so the max spans the full range
+    scorer_rot_max_deg: float = 180.0
     scorer_trans_frac: float = 0.5
+    # density exponent for scorer perturbation magnitudes: u^power * max.
+    # power 2 concentrates samples at SMALL errors -- Register ranks
+    # post-refine residuals, so fine discrimination near zero matters most
+    scorer_angle_power: float = 2.0
     hyps_per_scene: int = 8
     score_tau: float = 0.05  # soft-label temperature, units of diameter
 
@@ -121,21 +128,26 @@ def perturb_poses(
     rot_max_deg: float,
     trans_frac: float,
     diameter: float,
+    angle_power: float = 1.0,
 ) -> jnp.ndarray:
     """Hypotheses = ground truth with bounded rotation/translation noise.
 
     Rotation noise is applied on the LEFT (camera frame), matching the
     refiner's delta convention R' = dR^T R (apply_refine_delta).
+    angle_power > 1 concentrates magnitudes near zero (u^power * max).
     """
     n = gt_poses.shape[0]
     ka, km, kt = jax.random.split(key, 3)
     axis = jax.random.normal(ka, (n, 3), dtype=jnp.float32)
     axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9)
-    ang = jax.random.uniform(km, (n, 1), maxval=float(np.deg2rad(rot_max_deg)))
+    u = jax.random.uniform(km, (n, 1))
+    ang = (u**angle_power) * float(np.deg2rad(rot_max_deg))
     d_rot = transforms.axis_angle_to_matrix(axis * ang)
     t_noise = jax.random.uniform(
         kt, (n, 3), minval=-trans_frac, maxval=trans_frac
     ) * (diameter / 2.0)
+    if angle_power != 1.0:
+        t_noise = t_noise * (u**(angle_power - 1.0))
     hyp = gt_poses.at[:, :3, :3].set(
         jnp.einsum("nij,njk->nik", d_rot, gt_poses[:, :3, :3])
     )
@@ -296,7 +308,7 @@ def make_scorer_batch(
     gt_rep = jnp.repeat(gt, kh_, axis=0)  # (S*K,4,4)
     hyp = perturb_poses(
         kh, gt_rep, tcfg.scorer_rot_max_deg, tcfg.scorer_trans_frac,
-        mesh.diameter,
+        mesh.diameter, angle_power=tcfg.scorer_angle_power,
     )
     rgb_obs, depth_obs = render_observed(
         mesh, gt, K, tcfg.frame_hw, tcfg.frame_hw, cfg, rasterize_fn, use_fused

@@ -29,12 +29,13 @@ def main() -> None:
     it, n, t, d = 8, 252, cfg.num_tokens, cfg.embed_dim
     nh = cfg.num_heads
     hd = d // nh
-    rng = np.random.default_rng(0)
     params = networks.init_refiner(0, cfg)
     layer = params["encoder"][0]
-    toks = jnp.asarray(
-        rng.uniform(size=(it, n, t, d)).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    # generate on-device: host-built arrays of this size stall the axon
+    # tunnel for minutes (measured; ~4 GB of H2D)
+    toks = jax.jit(
+        lambda k: jax.random.uniform(k, (it, n, t, d)).astype(jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
 
     def timed(name, fn, *xs):
         def outer(*stacks):
@@ -101,9 +102,9 @@ def main() -> None:
           f"{abs(float(ya) - float(yb)) / abs(float(ya)):.2e}")
 
     # stem conv A/B
-    crops = jnp.asarray(
-        rng.uniform(size=(it, 2 * n, cfg.crop_hw, cfg.crop_hw, 6)).astype(np.float32)
-    )
+    crops = jax.jit(
+        lambda k: jax.random.uniform(k, (it, 2 * n, cfg.crop_hw, cfg.crop_hw, 6))
+    )(jax.random.PRNGKey(1))
     pc = params["encodeA"]["conv0"]
 
     def direct(x):

@@ -106,6 +106,12 @@ def evaluate(
             }
         )
     out = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    for k in ("register_rot_deg", "tracked_rot_deg"):
+        out[k + "_median"] = float(np.median([r[k] for r in rows]))
+    # geometric-symmetry flips the scorer failed to reject (cube: 90 deg)
+    out["register_flips"] = int(
+        sum(r["register_rot_deg"] > 45.0 for r in rows)
+    )
     out["n_scenes"] = n_scenes
     out["diameter"] = float(asset.diameter)
     return out
@@ -172,7 +178,13 @@ def main() -> None:
         checkpoint.save_params(params_r, path_r)
         log(f"saved {path_r}")
     else:
-        params_r = networks.init_refiner(args.seed, net_cfg)
+        # reuse previously trained weights for the eval when present
+        path_r = os.path.join(args.out, f"refiner_{tag}.npz")
+        if os.path.exists(path_r):
+            log(f"loading existing {path_r} for eval")
+            params_r = checkpoint.load_params(path_r)
+        else:
+            params_r = networks.init_refiner(args.seed, net_cfg)
 
     if not args.skip_scorer:
         log(f"training scorer ({args.scorer_steps} steps)...")
