@@ -178,7 +178,15 @@ def _linear(x, w, b):
 
 
 def _self_attention(x, p, num_heads):
-    """torch.nn.MultiheadAttention forward (packed in_proj, scaled dot)."""
+    """torch.nn.MultiheadAttention forward (packed in_proj, scaled dot).
+
+    In the bf16 inference path the (N, H, T, T) logits are emitted bf16
+    (MXU still accumulates f32; only the output rounds) and upcast inside
+    the softmax: at N=252, T=400 the f32 logits tensor is 645 MB of HBM
+    traffic and the bf16 variant measures 13.6 -> 9.4 ms per layer
+    (tools/bench_attn.py). f32 inputs (training, parity oracles) keep
+    full-precision logits.
+    """
     n, t, d = x.shape
     hd = d // num_heads
     qkv = _linear(x, p["qkv_w"], p["qkv_b"])  # (N, T, 3D)
@@ -188,8 +196,11 @@ def _self_attention(x, p, num_heads):
         return a.reshape(n, t, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(logits / math.sqrt(hd), axis=-1).astype(x.dtype)
+    logits_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=logits_dtype)
+    attn = jax.nn.softmax(
+        logits.astype(jnp.float32) / math.sqrt(hd), axis=-1
+    ).astype(x.dtype)
     out = jnp.einsum("nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32)
     out = out.transpose(0, 2, 1, 3).reshape(n, t, d).astype(x.dtype)
     return _linear(out, p["proj_w"], p["proj_b"])
