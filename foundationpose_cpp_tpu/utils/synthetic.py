@@ -39,10 +39,13 @@ def render_scene(
     clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)
     import jax
 
-    if rasterize_fn is None and jax.default_backend() == "tpu":
+    # full-frame XLA scan path is slow on TPU -> use the Pallas kernel, but
+    # only when the frame is tile-aligned (16 rows); odd sizes (e.g. the
+    # driver entry's 120x160) fall back to the exact XLA path
+    if rasterize_fn is None and jax.default_backend() == "tpu" and h % 16 == 0:
         from foundationpose_cpp_tpu.ops.rasterize_pallas import rasterize_tpu
 
-        rasterize_fn = rasterize_tpu  # full-frame XLA scan path is slow on TPU
+        rasterize_fn = rasterize_tpu
     rasterizer = rasterize_fn if rasterize_fn is not None else ras.rasterize
     rast = rasterizer(clip, mesh.faces, h, w, face_valid=mesh.face_valid)
 
