@@ -24,6 +24,9 @@ import time
 import numpy as np
 
 from foundationpose_cpp_tpu import create_foundationpose_model, networks
+from foundationpose_cpp_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # reuse compiled programs across demo runs
 from foundationpose_cpp_tpu.config import FoundationPoseConfig
 from foundationpose_cpp_tpu.meshio import procedural
 from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
@@ -62,8 +65,10 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--out", type=str, default="/tmp/fp_demo")
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
-    ap.add_argument("--mesh", default="cube", choices=["cube", "cube6"],
-                    help="cube6 = face-colored (pose-unique) variant")
+    ap.add_argument("--mesh", default="cube",
+                    choices=["cube", "cube6", "house"],
+                    help="cube6 = face-colored cube; house = fully "
+                         "asymmetric box+roof (both pose-unique)")
     ap.add_argument("--weights", default=None,
                     help="directory of trained npz weights "
                          "(tools/train_synthetic.py --out)")
@@ -83,6 +88,8 @@ def main() -> None:
         )
     if args.mesh == "cube6":
         cube = procedural.face_colored_cube(name="cube")
+    elif args.mesh == "house":
+        cube = procedural.textured_house(name="cube")
     else:
         cube = procedural.textured_cube(size=0.1)
     mesh = MeshConstants.from_asset(cube)

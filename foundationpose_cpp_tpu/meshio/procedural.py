@@ -28,7 +28,12 @@ def textured_cube(name: str = "cube", size: float = 0.1) -> MeshAsset:
     """Axis-aligned cube with per-face UVs (24 verts, 12 tris)."""
     s = size / 2.0
     verts, uvs, normals, faces = [], [], [], []
-    # (axis, sign) per face; build 4 corners each
+    # (axis, sign) per face; build 4 corners each. The outward winding
+    # depends on the handedness of (u_axis, v_axis, axis): for axis 1 the
+    # ordered remaining axes (0, 2) form a LEFT-handed frame with +y, so
+    # the triangle order flips (getting this wrong renders fine -- the
+    # kernel is double-sided and shading uses the stored normals -- but
+    # silently fails the winding proof and disables backface culling).
     for axis in range(3):
         for sign in (-1.0, 1.0):
             u_axis, v_axis = [a for a in range(3) if a != axis]
@@ -43,7 +48,8 @@ def textured_cube(name: str = "cube", size: float = 0.1) -> MeshAsset:
                 n = [0.0, 0.0, 0.0]
                 n[axis] = sign
                 normals.append(n)
-            if sign > 0:
+            outward = (sign > 0) ^ (axis == 1)
+            if outward:
                 faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
             else:
                 faces += [[base, base + 2, base + 1], [base, base + 3, base + 2]]
@@ -107,11 +113,89 @@ def face_colored_cube(name: str = "cube6", size: float = 0.1) -> MeshAsset:
                 n = [0.0, 0.0, 0.0]
                 n[axis] = sign
                 normals.append(n)
-            if sign > 0:
+            outward = (sign > 0) ^ (axis == 1)  # see textured_cube
+            if outward:
                 faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
             else:
                 faces += [[base, base + 2, base + 1], [base, base + 3, base + 2]]
             face_idx += 1
+    return make_mesh_asset(
+        name,
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32),
+        np.asarray(uvs, np.float32),
+        np.asarray(normals, np.float32),
+        face_atlas_texture(),
+    )
+
+
+def textured_house(name: str = "house", size: float = 0.1) -> MeshAsset:
+    """Box + roof prism, distinct color per face group -- fully asymmetric.
+
+    Unlike the cube (geometric 90-degree symmetry) this shape has no
+    rotational symmetry at all, so rotation-error metrics are meaningful
+    end to end. 16 triangles, 6 atlas color groups (bottom, front, back,
+    left pentagon, right pentagon, roof).
+    """
+    a, b, c = size / 2.0, size * 0.4, size * 0.3  # half extents x, y, z
+    d = size * 0.7  # roof apex height
+    verts, uvs, normals, faces = [], [], [], []
+
+    def add_face(pts, normal, cell, uv01):
+        """pts: list of 3-D points (fan-triangulated), uv01: matching 2-D."""
+        base = len(verts)
+        cx, cy = cell % 3, cell // 3
+        for p, (u, v) in zip(pts, uv01):
+            verts.append(list(p))
+            uvs.append([
+                (cx + 0.05 + 0.9 * u) / 3.0,
+                (cy + 0.05 + 0.9 * v) / 2.0,
+            ])
+            normals.append(list(normal))
+        for i in range(1, len(pts) - 1):
+            faces.append([base, base + i, base + i + 1])
+
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    # bottom (z = -c), outward normal -z (wind so the normal faces out)
+    add_face(
+        [(-a, -b, -c), (-a, b, -c), (a, b, -c), (a, -b, -c)],
+        (0, 0, -1), 0, sq,
+    )
+    # front wall (y = -b)
+    add_face(
+        [(-a, -b, -c), (a, -b, -c), (a, -b, c), (-a, -b, c)],
+        (0, -1, 0), 1, sq,
+    )
+    # back wall (y = +b)
+    add_face(
+        [(a, b, -c), (-a, b, -c), (-a, b, c), (a, b, c)],
+        (0, 1, 0), 2, sq,
+    )
+    # gable pentagons (x = +-a): rect + apex
+    pent_uv = [(0, 0), (1, 0), (1, 0.6), (0.5, 1), (0, 0.6)]
+    add_face(
+        [(a, -b, -c), (a, b, -c), (a, b, c), (a, 0, d), (a, -b, c)],
+        (1, 0, 0), 3, pent_uv,
+    )
+    add_face(
+        [(-a, b, -c), (-a, -b, -c), (-a, -b, c), (-a, 0, d), (-a, b, c)],
+        (-1, 0, 0), 4, pent_uv,
+    )
+    # roof slopes (share cell 5); normals from the slope geometry
+    ny = d - c  # slope rise
+    import math as _math
+
+    ln = _math.sqrt(b * b + ny * ny)
+    add_face(
+        [(-a, -b, c), (a, -b, c), (a, 0, d), (-a, 0, d)],
+        (0, -ny / ln, b / ln), 5,
+        [(0, 0), (1, 0), (1, 0.5), (0, 0.5)],
+    )
+    add_face(
+        [(a, b, c), (-a, b, c), (-a, 0, d), (a, 0, d)],
+        (0, ny / ln, b / ln), 5,
+        [(0, 0.5), (1, 0.5), (1, 1), (0, 1)],
+    )
     return make_mesh_asset(
         name,
         np.asarray(verts, np.float32),

@@ -65,6 +65,12 @@ class SyntheticTrainConfig:
     # power 2 concentrates samples at SMALL errors -- Register ranks
     # post-refine residuals, so fine discrimination near zero matters most
     scorer_angle_power: float = 2.0
+    # fraction of hypotheses drawn uniformly from [far_min, max] degrees
+    # instead: near-symmetry flips live in the tail (a 180-degree house
+    # flip is ~3% of a u^2 draw), and a scorer that never contrasts them
+    # picks flipped poses at Register (measured: 8/12 flipped scenes)
+    scorer_far_frac: float = 0.25
+    scorer_far_min_deg: float = 90.0
     hyps_per_scene: int = 8
     score_tau: float = 0.05  # soft-label temperature, units of diameter
 
@@ -129,19 +135,31 @@ def perturb_poses(
     trans_frac: float,
     diameter: float,
     angle_power: float = 1.0,
+    far_frac: float = 0.0,
+    far_min_deg: float = 90.0,
 ) -> jnp.ndarray:
     """Hypotheses = ground truth with bounded rotation/translation noise.
 
     Rotation noise is applied on the LEFT (camera frame), matching the
     refiner's delta convention R' = dR^T R (apply_refine_delta).
-    angle_power > 1 concentrates magnitudes near zero (u^power * max).
+    angle_power > 1 concentrates magnitudes near zero (u^power * max);
+    far_frac replaces that fraction of draws with uniform
+    [far_min_deg, rot_max_deg] angles (symmetry-flip negatives).
     """
     n = gt_poses.shape[0]
-    ka, km, kt = jax.random.split(key, 3)
+    ka, km, kt, kf, kg = jax.random.split(key, 5)
     axis = jax.random.normal(ka, (n, 3), dtype=jnp.float32)
     axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9)
     u = jax.random.uniform(km, (n, 1))
     ang = (u**angle_power) * float(np.deg2rad(rot_max_deg))
+    if far_frac > 0.0:
+        far = jax.random.uniform(
+            kf, (n, 1),
+            minval=float(np.deg2rad(far_min_deg)),
+            maxval=float(np.deg2rad(rot_max_deg)),
+        )
+        take_far = jax.random.bernoulli(kg, far_frac, (n, 1))
+        ang = jnp.where(take_far, far, ang)
     d_rot = transforms.axis_angle_to_matrix(axis * ang)
     t_noise = jax.random.uniform(
         kt, (n, 3), minval=-trans_frac, maxval=trans_frac
@@ -309,6 +327,7 @@ def make_scorer_batch(
     hyp = perturb_poses(
         kh, gt_rep, tcfg.scorer_rot_max_deg, tcfg.scorer_trans_frac,
         mesh.diameter, angle_power=tcfg.scorer_angle_power,
+        far_frac=tcfg.scorer_far_frac, far_min_deg=tcfg.scorer_far_min_deg,
     )
     rgb_obs, depth_obs = render_observed(
         mesh, gt, K, tcfg.frame_hw, tcfg.frame_hw, cfg, rasterize_fn, use_fused

@@ -153,3 +153,57 @@ def test_ply_texture_file_comment(tmp_path):
     (tmp_path / "tex2.ply").write_text(header2 + body)
     loaded2 = ml.load_mesh("tex2", str(tmp_path / "tex2.ply"))
     assert loaded2.texture.shape == (2, 2, 3)
+
+
+def test_procedural_house_asset():
+    """House mesh: closed orientable surface, exact diameter, atlas UVs."""
+    h = procedural.textured_house(size=0.1)
+    assert h.faces.shape == (16, 3)
+    # exact analytic diameter: apex (+-a, 0, d) to opposite bottom corner
+    a, b, c, d = 0.05, 0.04, 0.03, 0.07
+    expect = np.sqrt((2 * a) ** 2 + b**2 + (d + c) ** 2)
+    assert abs(h.diameter - expect) < 1e-5
+    # unit normals, valid indices, UVs inside the atlas
+    n = np.linalg.norm(h.vertex_normals, axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+    assert h.faces.min() >= 0 and h.faces.max() < h.num_vertices
+    assert (h.texcoords >= 0).all() and (h.texcoords <= 1).all()
+    # consistent outward winding: signed volume from face fans is positive
+    v = h.vertices[h.faces]  # (F, 3, 3)
+    vol = np.sum(np.einsum("fi,fi->f", v[:, 0], np.cross(v[:, 1], v[:, 2]))) / 6
+    assert vol > 0, vol
+    # and flat-face normals agree with the cross-product orientation
+    geo = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    geo /= np.linalg.norm(geo, axis=-1, keepdims=True)
+    stored = h.vertex_normals[h.faces[:, 0]]
+    np.testing.assert_allclose((geo * stored).sum(-1), 1.0, atol=1e-5)
+
+
+def test_procedural_face_colored_cube_unique_colors():
+    """cube6: each face samples a distinct atlas color."""
+    c6 = procedural.face_colored_cube()
+    tex = c6.texture
+    face_colors = []
+    for f in range(6):
+        uv = c6.texcoords[4 * f : 4 * f + 4].mean(0)
+        ty = int(uv[1] * (tex.shape[0] - 1))
+        tx = int(uv[0] * (tex.shape[1] - 1))
+        face_colors.append(tuple(np.round(tex[ty, tx] / tex[ty, tx].max(), 1)))
+    assert len(set(face_colors)) == 6, face_colors
+
+
+def test_procedural_cubes_wound_outward():
+    """Both cube variants pass the watertight/consistent-winding proof.
+
+    The y-axis faces were wound backwards (handedness of the ordered
+    remaining axes flips for +-y), which silently disabled backface
+    culling in the fused renderer (cull_ok=False) and made the signed
+    volume 1/3 of the true value.
+    """
+    from foundationpose_cpp_tpu.ops import render_fused as rf
+
+    for asset in (procedural.textured_cube(size=0.1),
+                  procedural.face_colored_cube(size=0.1)):
+        c = asset.vertices - asset.vertices.mean(0)
+        assert rf.winding_consistent_closed(c, asset.faces)
+        assert abs(rf.signed_volume(c, asset.faces) - 0.001) < 1e-6

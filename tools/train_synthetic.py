@@ -41,6 +41,10 @@ def build_mesh(name: str):
         # checkerboard cube is symmetric under 90-degree rotations, which
         # caps what any scorer/refiner can learn)
         return procedural.face_colored_cube(name="cube")
+    if name == "house":
+        # box + roof prism: NO rotational symmetry, so rotation metrics
+        # are meaningful without any symmetry caveat
+        return procedural.textured_house(name="house")
     if name == "sphere":
         return procedural.textured_uv_sphere(radius=0.05, n_lat=24, n_lon=32)
     return mesh_loader.load_mesh(name)
@@ -125,6 +129,10 @@ def main() -> None:
     ap.add_argument("--scorer-steps", type=int, default=2500)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--scorer-lr", type=float, default=1e-4,
+                    help="scorer learning rate; the listwise CE diverged "
+                         "once at 2e-4 (loss rose after step ~6k), 1e-4 "
+                         "reaches the same eval reliably")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="weights")
     ap.add_argument("--eval-scenes", type=int, default=8)
@@ -134,6 +142,12 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    from foundationpose_cpp_tpu.utils.cache import enable_compilation_cache
+
+    # first-ever Mosaic compile of the fused render at a new (mesh, batch)
+    # signature can take minutes; the persistent cache makes it one-time
+    enable_compilation_cache()
 
     from foundationpose_cpp_tpu import FoundationPoseConfig, networks
     from foundationpose_cpp_tpu.models import checkpoint
@@ -187,9 +201,11 @@ def main() -> None:
             params_r = networks.init_refiner(args.seed, net_cfg)
 
     if not args.skip_scorer:
-        log(f"training scorer ({args.scorer_steps} steps)...")
+        log(f"training scorer ({args.scorer_steps} steps, "
+            f"lr {args.scorer_lr})...")
+        tcfg_s = tr.SyntheticTrainConfig(batch=args.batch, lr=args.scorer_lr)
         params_s = tr.train_scorer(
-            mesh, cfg, net_cfg, tcfg, steps=args.scorer_steps,
+            mesh, cfg, net_cfg, tcfg_s, steps=args.scorer_steps,
             seed=args.seed + 1, use_fused=use_fused, log=log,
         )
         params_s = to_bf16(params_s)
