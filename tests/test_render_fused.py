@@ -135,10 +135,20 @@ def test_sample_texture_matches_texture_op():
 
 def test_backface_cull_auto_detection():
     """Culling only engages with the watertight + consistent-winding proof."""
+    import dataclasses
+
     sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=10, n_lon=14)
-    cube = procedural.textured_cube(size=0.1)  # mixed winding by design
+    cube = procedural.textured_cube(size=0.1)
     assert FusedMeshTables.from_asset(sphere).backface_cull_ok
-    assert not FusedMeshTables.from_asset(cube).backface_cull_ok
+    assert FusedMeshTables.from_asset(cube).backface_cull_ok  # fixed winding
+    # flip one face -> directed edge appears twice -> proof must fail
+    bad_faces = np.asarray(cube.faces).copy()
+    bad_faces[0] = bad_faces[0, ::-1]
+    bad = dataclasses.replace(cube, faces=bad_faces)
+    assert not FusedMeshTables.from_asset(bad).backface_cull_ok
+    # open surface (missing face) must also fail even if wound consistently
+    open_mesh = dataclasses.replace(cube, faces=np.asarray(cube.faces)[1:])
+    assert not FusedMeshTables.from_asset(open_mesh).backface_cull_ok
 
 
 def test_backface_cull_output_identical():
