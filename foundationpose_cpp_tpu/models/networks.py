@@ -325,6 +325,7 @@ def _apply_backbone(
     cfg: NetConfig,
     head_names: tuple[str, ...],
     cross_attention: bool,
+    group_size: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     n = render_input.shape[0]
     # siamese encode over a 2N batch (torch.cat([A,B],0) in the original)
@@ -343,9 +344,18 @@ def _apply_backbone(
         tokens = _encoder_layer(tokens, layer, cfg.num_heads)
     pooled = tokens.mean(axis=1)  # (N, D)
     if cross_attention and "att_cross" in params:
-        # ScoreNetMultiPair: one encoder layer attending ACROSS the N
-        # hypotheses (sequence axis = pose batch).
-        pooled = _encoder_layer(pooled[None], params["att_cross"], cfg.num_heads)[0]
+        # ScoreNetMultiPair: one encoder layer attending ACROSS the
+        # hypotheses of one scene (sequence axis = pose batch). At
+        # inference the whole batch is one scene (group_size=None); the
+        # trainer packs several scenes per batch and passes their size so
+        # attention never crosses scene boundaries.
+        d = pooled.shape[-1]
+        seq = pooled[None] if group_size is None else pooled.reshape(
+            -1, group_size, d
+        )
+        pooled = _encoder_layer(
+            seq, params["att_cross"], cfg.num_heads
+        ).reshape(pooled.shape)
     pooled = pooled.astype(jnp.float32)
     out = {}
     for name in head_names:
@@ -400,11 +410,18 @@ def apply_scorer(
     render_input: jnp.ndarray,
     transf_input: jnp.ndarray,
     cfg: NetConfig = NetConfig(),
+    group_size: int | None = None,
 ) -> dict[str, jnp.ndarray]:
-    """ScoreNet(MultiPair): (N,160,160,6) x2 -> {'scores': (N,1)} logits."""
+    """ScoreNet(MultiPair): (N,160,160,6) x2 -> {'scores': (N,1)} logits.
+
+    The MultiPair cross-hypothesis layer engages when the checkpoint
+    carries it (att_cross tensors), matching the converter's auto-detect
+    -- a loaded MultiPair checkpoint works without flipping the config.
+    """
     return _apply_backbone(
         params, render_input, transf_input, cfg, ("scores",),
-        cross_attention=cfg.cross_attention,
+        cross_attention=cfg.cross_attention or "att_cross" in params,
+        group_size=group_size,
     )
 
 

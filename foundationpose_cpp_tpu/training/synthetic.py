@@ -382,10 +382,12 @@ def scorer_loss(
     batch: dict[str, jnp.ndarray],
     net_cfg: networks.NetConfig,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    out = networks.apply_scorer(
-        params, batch["render_input"], batch["transf_input"], net_cfg
-    )
     s, k = batch["labels"].shape
+    out = networks.apply_scorer(
+        params, batch["render_input"], batch["transf_input"], net_cfg,
+        # MultiPair: attend within each scene's K hypotheses only
+        group_size=k if net_cfg.cross_attention else None,
+    )
     logits = out["scores"].reshape(s, k)
     ce = -jnp.sum(batch["labels"] * jax.nn.log_softmax(logits, axis=-1), -1)
     # rank quality: fraction of scenes where argmax(score) = argmin(ADD)

@@ -209,3 +209,43 @@ def test_scorer_training_runs(mesh):
     assert all(
         bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(params)
     )
+
+
+def test_scorer_cross_attention_grouping():
+    """MultiPair cross-attention stays within a scene's hypothesis group."""
+    cfg = networks.NetConfig(
+        width1=8, width2=8, embed_dim=16, num_heads=2, ffn_dim=16,
+        crop_hw=32, cross_attention=True,
+    )
+    params = networks.init_scorer(0, cfg)
+    assert "att_cross" in params
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(8, 32, 32, 6)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(8, 32, 32, 6)).astype(np.float32))
+    # grouped (2 scenes x 4 hyps) == applying each scene separately
+    grouped = networks.apply_scorer(params, a, b, cfg, group_size=4)["scores"]
+    s0 = networks.apply_scorer(params, a[:4], b[:4], cfg)["scores"]
+    s1 = networks.apply_scorer(params, a[4:], b[4:], cfg)["scores"]
+    np.testing.assert_allclose(
+        np.asarray(grouped), np.concatenate([s0, s1]), atol=2e-2
+    )
+    # cross-talk exists WITHIN a group: perturbing hypothesis 0 changes
+    # hypothesis 1's score...
+    a2 = a.at[0].add(0.5)
+    pert = networks.apply_scorer(params, a2, b, cfg, group_size=4)["scores"]
+    assert abs(float(pert[1, 0] - grouped[1, 0])) > 1e-6
+    # ...but NOT across groups
+    np.testing.assert_allclose(
+        np.asarray(pert[4:]), np.asarray(grouped[4:]), atol=2e-2
+    )
+    # auto-detect: checkpoint with att_cross engages the layer even when
+    # the config flag is off (converter/demo DWIM)
+    cfg_off = networks.NetConfig(
+        width1=8, width2=8, embed_dim=16, num_heads=2, ffn_dim=16,
+        crop_hw=32, cross_attention=False,
+    )
+    auto = networks.apply_scorer(params, a, b, cfg_off)["scores"]
+    base = networks.apply_scorer(
+        {k: v for k, v in params.items() if k != "att_cross"}, a, b, cfg_off
+    )["scores"]
+    assert abs(float((auto - base).sum())) > 1e-6

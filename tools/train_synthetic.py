@@ -138,6 +138,11 @@ def main() -> None:
     ap.add_argument("--eval-scenes", type=int, default=8)
     ap.add_argument("--skip-refiner", action="store_true")
     ap.add_argument("--skip-scorer", action="store_true")
+    ap.add_argument("--cross-attention", action="store_true",
+                    help="train the scorer as ScoreNetMultiPair (one "
+                         "encoder layer attending across each scene's "
+                         "hypotheses); inference auto-detects it from "
+                         "the checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -204,8 +209,11 @@ def main() -> None:
         log(f"training scorer ({args.scorer_steps} steps, "
             f"lr {args.scorer_lr})...")
         tcfg_s = tr.SyntheticTrainConfig(batch=args.batch, lr=args.scorer_lr)
+        import dataclasses as _dc
+
+        net_cfg_s = _dc.replace(net_cfg, cross_attention=args.cross_attention)
         params_s = tr.train_scorer(
-            mesh, cfg, net_cfg, tcfg_s, steps=args.scorer_steps,
+            mesh, cfg, net_cfg_s, tcfg_s, steps=args.scorer_steps,
             seed=args.seed + 1, use_fused=use_fused, log=log,
         )
         params_s = to_bf16(params_s)
