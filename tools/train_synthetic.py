@@ -51,7 +51,8 @@ def build_mesh(name: str):
 
 
 def evaluate(
-    asset, params_r, params_s, cfg, net_cfg, tcfg, n_scenes, seed, use_fused
+    asset, params_r, params_s, cfg, net_cfg, tcfg, n_scenes, seed, use_fused,
+    refine_itr: int = 1,
 ):
     """Register + short Track on held-out scenes; returns metric dict."""
     import jax.numpy as jnp
@@ -85,7 +86,7 @@ def evaluate(
         mask = (depth > 0).astype(np.uint8) * 255
         best, poses, scores, ok = register_step(
             mesh, params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
-            jnp.asarray(mask), rot_grid, Kj, 1, cfg, net_cfg,
+            jnp.asarray(mask), rot_grid, Kj, refine_itr, cfg, net_cfg,
             use_fused=use_fused,
         )
         best = np.asarray(best)
@@ -136,6 +137,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="weights")
     ap.add_argument("--eval-scenes", type=int, default=8)
+    ap.add_argument("--eval-refine-itr", type=int, default=1,
+                    help="Register refine iterations in the eval "
+                         "(reference refine_itr knob, default 1)")
     ap.add_argument("--skip-refiner", action="store_true")
     ap.add_argument("--skip-scorer", action="store_true")
     ap.add_argument("--cross-attention", action="store_true",
@@ -221,7 +225,12 @@ def main() -> None:
         checkpoint.save_params(params_s, path_s)
         log(f"saved {path_s}")
     else:
-        params_s = networks.init_scorer(args.seed + 1, net_cfg)
+        path_s = os.path.join(args.out, f"scorer_{tag}.npz")
+        if os.path.exists(path_s):
+            log(f"loading existing {path_s} for eval")
+            params_s = checkpoint.load_params(path_s)
+        else:
+            params_s = networks.init_scorer(args.seed + 1, net_cfg)
 
     if args.eval_scenes <= 0:
         log(f"training done in {time.perf_counter() - t0:.0f}s (eval skipped)")
@@ -230,10 +239,11 @@ def main() -> None:
         f"{args.eval_scenes} held-out scenes...")
     report = evaluate(
         asset, params_r, params_s, cfg, net_cfg, tcfg, args.eval_scenes,
-        args.seed, use_fused,
+        args.seed, use_fused, refine_itr=args.eval_refine_itr,
     )
     report["net"] = args.net
     report["mesh"] = args.mesh
+    report["refine_itr"] = args.eval_refine_itr
     print(json.dumps(report, indent=2))
 
 
