@@ -128,5 +128,78 @@ def main() -> None:
     timed("conv0 s2d (pre-cast bf16)", s2d_pre_bf16, crops)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--encode-ab" not in sys.argv:
     main()
+
+
+def bench_encode_ab() -> None:
+    """A/B: res0's first conv on concat(A,B) vs split-weight sum.
+
+    conv(concat(A,B), W) == conv(A, W[:, :, :C]) + conv(B, W[:, :, C:])
+    -- the split form never materializes the (2N, 40, 40, 256) concat.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foundationpose_cpp_tpu.models import networks
+
+    cfg = networks.NetConfig()
+    it, n, s2, c = 8, 252, cfg.crop_hw // 4, cfg.width2
+    params = networks.init_refiner(0, cfg)
+    q = params["encodeAB"]
+
+    feats = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (2, it, n, s2, s2, c)
+        ).astype(jnp.bfloat16)
+    )(jax.random.PRNGKey(2))
+    fa, fb = feats[0], feats[1]
+
+    def timed(name, fn, *xs):
+        def outer(*stacks):
+            def step(cr, x):
+                return cr + fn(*x), None
+
+            cr, _ = jax.lax.scan(step, jnp.float32(0.0), stacks)
+            return cr
+
+        f = jax.jit(outer)
+        _ = np.asarray(f(*xs))
+        t0 = time.perf_counter()
+        _ = np.asarray(f(*xs))
+        print(f"{name:34s} {(time.perf_counter() - t0) / it * 1e3:8.2f} ms/iter")
+
+    def concat_form(a, b):
+        ab = jnp.concatenate([a, b], axis=-1)
+        ab = networks._res_block(ab, q["res0"])
+        ab = networks._conv_relu(ab, q["conv"], stride=2)
+        ab = networks._res_block(ab, q["res1"])
+        return ab.sum().astype(jnp.float32)
+
+    def split_form(a, b):
+        w1, b1 = q["res0"]["w1"], q["res0"]["b1"]
+        ha = networks._conv(a, w1[:, :, :c], jnp.zeros_like(b1))
+        hb = networks._conv(b, w1[:, :, c:], b1)
+        h = jax.nn.relu(ha + hb)
+        h = networks._conv(h, q["res0"]["w2"], q["res0"]["b2"])
+        ab = jnp.concatenate([a, b], axis=-1)  # skip connection still needs it
+        ab = jax.nn.relu(ab + h)
+        ab = networks._conv_relu(ab, q["conv"], stride=2)
+        ab = networks._res_block(ab, q["res1"])
+        return ab.sum().astype(jnp.float32)
+
+    timed("encodeAB concat form", concat_form, fa, fb)
+    timed("encodeAB split-weight form", split_form, fa, fb)
+    # equivalence
+    xa, xb = fa[0].astype(jnp.float32), fb[0].astype(jnp.float32)
+    cfg32 = networks.NetConfig(dtype=jnp.float32)
+    del cfg32
+    d = float(jnp.max(jnp.abs(concat_form(xa, xb) - split_form(xa, xb))))
+    print(f"sum-diff (f32 inputs): {d:.3e}")
+
+
+if __name__ == "__main__" and "--encode-ab" in __import__("sys").argv:
+    bench_encode_ab()
