@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 import functools as _functools
 import jax as _jax
+from jax.nn import one_hot as jax_nn_one_hot
 
 # Geometry math must be exact float32: JAX's default matmul precision lowers
 # f32 einsum operands to bf16 on the TPU MXU, which is fine for the neural
@@ -272,23 +273,33 @@ def matrix_to_axis_angle(mat: jnp.ndarray) -> jnp.ndarray:
     )
     rv = s * factor[..., None]
     # near pi, sin(angle)->0 and the skew part degenerates; recover the axis
-    # from the symmetric part diag(R) = c + axis^2 (1-c)
-    axis2 = jnp.clip(
-        (jnp.stack([mat[..., 0, 0], mat[..., 1, 1], mat[..., 2, 2]], axis=-1)
-         - cos_a[..., None]) / jnp.maximum(1.0 - cos_a[..., None], 1e-12),
-        0.0, 1.0,
+    # from the symmetric part via Shepperd's largest-diagonal pivot: with
+    # S = (R + R^T)/2, diag(S) = c + axis^2 (1-c) and S_ij = axis_i axis_j (1-c)
+    # for i != j, so the row of S at the LARGEST diagonal entry k fixes every
+    # relative sign (anchoring on a fixed axis -- e.g. always x -- loses the
+    # y-vs-z relative sign whenever axis_k ~ 0).
+    one_minus_c = jnp.maximum(1.0 - cos_a[..., None], 1e-12)  # (N,1)
+    sym = (mat + jnp.swapaxes(mat, -1, -2)) * 0.5  # (N,3,3)
+    diag = jnp.stack([mat[..., 0, 0], mat[..., 1, 1], mat[..., 2, 2]], axis=-1)
+    k = jnp.argmax(diag, axis=-1)  # (N,)
+    onehot = jax_nn_one_hot(k, 3, dtype=mat.dtype)  # (N,3)
+    pivot_row = _einsum("...k,...kj->...j", onehot, sym)  # (N,3) = S[k,:]
+    a_k2 = jnp.clip(
+        (jnp.sum(onehot * diag, axis=-1, keepdims=True) - cos_a[..., None])
+        / one_minus_c,
+        0.0,
+        1.0,
     )
-    axis_pi = jnp.sqrt(axis2)
-    # signs from the symmetric off-diagonals (x*y, x*z known up to global sign;
-    # fix sign of the largest component positive -- rotvec ~ -rotvec at pi)
-    xy = mat[..., 0, 1] + mat[..., 1, 0]
-    xz = mat[..., 0, 2] + mat[..., 2, 0]
-    sign_y = jnp.where(xy < 0, -1.0, 1.0)
-    sign_z = jnp.where(xz < 0, -1.0, 1.0)
-    axis_pi = axis_pi * jnp.stack(
-        [jnp.ones_like(sign_y), sign_y, sign_z], axis=-1
+    a_k = jnp.sqrt(a_k2)  # (N,1), pivot component taken positive
+    axis_pi = pivot_row / jnp.maximum(a_k * one_minus_c, 1e-12)
+    axis_pi = jnp.where(onehot > 0, a_k, axis_pi)
+    axis_pi = axis_pi / jnp.maximum(
+        jnp.linalg.norm(axis_pi, axis=-1, keepdims=True), 1e-12
     )
-    rv_pi = axis_pi * angle[..., None]
+    # rotvec ~ -rotvec only at exactly pi; just below pi the skew part still
+    # carries the true sign -- align with it (at exactly pi s=0, sign is free).
+    flip = jnp.where(jnp.sum(s * axis_pi, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
+    rv_pi = axis_pi * flip * angle[..., None]
     return jnp.where((jnp.pi - angle[..., None]) < 1e-3, rv_pi, rv)
 
 

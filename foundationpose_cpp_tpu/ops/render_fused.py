@@ -166,7 +166,10 @@ class FusedMeshTables:
     backface_cull_ok: bool = False
 
     @staticmethod
-    def from_asset(asset: MeshAsset) -> "FusedMeshTables":
+    def from_asset(asset: MeshAsset, face_pad: int | None = None) -> "FusedMeshTables":
+        """face_pad: pad the tables to a multiple of this with all-zero
+        (degenerate -> prepass-culled) faces, so meshes with different face
+        counts share one kernel executable (num_faces is a static shape)."""
         centered = asset.vertices - asset.model_center[None, :]
         faces0 = np.asarray(asset.faces)
         cull_ok = winding_consistent_closed(centered, faces0)
@@ -179,11 +182,20 @@ class FusedMeshTables:
         fn = asset.vertex_normals[faces]
         vcol = sample_texture_at_uv(asset.texture, asset.texcoords)
         fc = vcol[faces]
+        if face_pad is not None:
+            pad = (-fv.shape[0]) % face_pad
+
+            def _pad(a):
+                return np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                ) if pad else a
+
+            fv, fn, fc = _pad(fv), _pad(fn), _pad(fc)
         return FusedMeshTables(
             face_verts=jnp.asarray(fv, jnp.float32),
             face_normals=jnp.asarray(fn, jnp.float32),
             face_colors=jnp.asarray(fc, jnp.float32),
-            num_faces=int(faces.shape[0]),
+            num_faces=int(fv.shape[0]),
             diameter=float(asset.diameter),
             backface_cull_ok=cull_ok,
         )

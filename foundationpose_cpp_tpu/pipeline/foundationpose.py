@@ -138,7 +138,11 @@ def register_step(
     if hyp_valid is not None:
         scores = jnp.where(hyp_valid, scores, -jnp.inf)
     best = jnp.argmax(scores)  # getMaxScoreIndex (thrust) equivalent
-    return poses[best], poses, scores, ok
+    # NaN-poison the best pose when the translation guess failed so the
+    # caller can detect failure from the pose readback alone -- the host
+    # never does a separate blocking bool(ok) sync on the hot path.
+    best_pose = jnp.where(ok, poses[best], jnp.nan)
+    return best_pose, poses, scores, ok
 
 
 def track_step(
@@ -348,7 +352,7 @@ class FoundationPose:
         program = self._register_cache[key]
         if bucket is not None:
             bh, bw = bucket
-            best, _, _, ok = program(
+            best, _, _, _ = program(
                 self._refiner_params, self._scorer_params,
                 jnp.asarray(self._pad_to(rgb, bh, bw)),
                 jnp.asarray(self._pad_to(depth, bh, bw)),
@@ -356,7 +360,7 @@ class FoundationPose:
                 self._rot_grid, jnp.int32(h), jnp.int32(w),
             )
         else:
-            best, _, _, ok = program(
+            best, _, _, _ = program(
                 self._refiner_params,
                 self._scorer_params,
                 jnp.asarray(rgb),
@@ -364,12 +368,16 @@ class FoundationPose:
                 jnp.asarray(mask),
                 self._rot_grid,
             )
-        if not bool(ok):
+        # ONE blocking D2H: the pose itself. Failure rides in-band as a
+        # NaN-poisoned pose (register_step), so no separate bool(ok) sync
+        # (~26 ms/call on a tunneled chip, one dispatch stall everywhere).
+        out = np.asarray(best)
+        if np.isnan(out[0, 0]):
             raise RuntimeError(
                 "[FoundationPose] translation guess failed: mask is empty or "
                 "contains no valid depth"
             )
-        return np.asarray(best)
+        return out
 
     def register_with_scores(
         self, rgb, depth, mask, target_name, refine_itr: int = 1
@@ -386,7 +394,7 @@ class FoundationPose:
             )
         if bucket is not None:
             bh, bw = bucket
-            best, poses, scores, ok = self._register_cache[key](
+            best, poses, scores, _ = self._register_cache[key](
                 self._refiner_params, self._scorer_params,
                 jnp.asarray(self._pad_to(rgb, bh, bw)),
                 jnp.asarray(self._pad_to(depth, bh, bw)),
@@ -394,11 +402,13 @@ class FoundationPose:
                 self._rot_grid, jnp.int32(h), jnp.int32(w),
             )
         else:
-            best, poses, scores, ok = self._register_cache[key](
+            best, poses, scores, _ = self._register_cache[key](
                 self._refiner_params, self._scorer_params,
                 jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(mask), self._rot_grid,
             )
-        if not bool(ok):
+        # one batched transfer instead of three sequential blocking syncs
+        best, poses, scores = jax.device_get((best, poses, scores))
+        if np.isnan(best[0, 0]):
             raise RuntimeError("[FoundationPose] translation guess failed")
         return np.asarray(best), np.asarray(poses), np.asarray(scores)
 

@@ -60,7 +60,9 @@ class MeshConstants:
     fused: "FusedMeshTables"  # face-expanded tables for the megakernel
 
     @staticmethod
-    def from_asset(asset: MeshAsset, face_pad: int = 128) -> "MeshConstants":
+    def from_asset(
+        asset: MeshAsset, face_pad: int = 128, fused_face_pad: int | None = None
+    ) -> "MeshConstants":
         verts = asset.vertices - asset.model_center[None, :]
         uv = np.stack(
             [asset.texcoords[:, 0], 1.0 - asset.texcoords[:, 1]], axis=-1
@@ -83,7 +85,7 @@ class MeshConstants:
             diameter=float(asset.diameter),
             model_center=jnp.asarray(asset.model_center, dtype=jnp.float32),
             orient_bounds=jnp.asarray(asset.orient_bounds, dtype=jnp.float32),
-            fused=FusedMeshTables.from_asset(asset),
+            fused=FusedMeshTables.from_asset(asset, face_pad=fused_face_pad),
         )
 
 
@@ -167,13 +169,16 @@ def render_branch(
     """
     rasterizer = rasterize_fn if rasterize_fn is not None else ras.rasterize
     if use_fused:
-        # TPU production path: one megakernel, zero per-pixel gathers
+        # TPU production path: one megakernel, zero per-pixel gathers.
+        # use_fused="interpret" runs the same kernel in Pallas interpret
+        # mode (CPU tests of fused-only paths, e.g. the mesh-bank trainer).
         from foundationpose_cpp_tpu.ops.render_fused import render_views_fused
 
         return render_views_fused(
             mesh.fused, poses, clip_mat, ch, cw,
             w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+            interpret=use_fused == "interpret",
         )
 
     clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)

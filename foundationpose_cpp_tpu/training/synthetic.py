@@ -152,6 +152,7 @@ def perturb_poses(
     axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9)
     u = jax.random.uniform(km, (n, 1))
     ang = (u**angle_power) * float(np.deg2rad(rot_max_deg))
+    take_far = None
     if far_frac > 0.0:
         far = jax.random.uniform(
             kf, (n, 1),
@@ -161,11 +162,17 @@ def perturb_poses(
         take_far = jax.random.bernoulli(kg, far_frac, (n, 1))
         ang = jnp.where(take_far, far, ang)
     d_rot = transforms.axis_angle_to_matrix(axis * ang)
-    t_noise = jax.random.uniform(
+    t_noise_raw = jax.random.uniform(
         kt, (n, 3), minval=-trans_frac, maxval=trans_frac
     ) * (diameter / 2.0)
+    t_noise = t_noise_raw
     if angle_power != 1.0:
         t_noise = t_noise * (u**(angle_power - 1.0))
+        # far-angle negatives must keep full-range translation error too;
+        # the u-scale above comes from the unrelated small-angle draw and
+        # would otherwise make far negatives rotation-only.
+        if take_far is not None:
+            t_noise = jnp.where(take_far, t_noise_raw, t_noise)
     hyp = gt_poses.at[:, :3, :3].set(
         jnp.einsum("nij,njk->nik", d_rot, gt_poses[:, :3, :3])
     )

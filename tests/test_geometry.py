@@ -133,6 +133,36 @@ def test_axis_angle_matches_scipy():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_matrix_to_axis_angle_near_pi_degenerate_axes():
+    """Shepperd pivot: relative signs survive when any axis component ~ 0.
+
+    Regression for the round-2 advisor finding: anchoring the sign recovery
+    on the x component returned a wrong rotation (round-trip matrix error
+    2.0) for axes with x ~ 0, e.g. (0, 1, -1)/sqrt(2) at pi - 5e-4.
+    """
+    axes = np.array(
+        [
+            [0.0, 1.0, -1.0],
+            [0.0, 1.0, 1.0],
+            [1.0, 0.0, -1.0],
+            [1.0, -1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.01, 0.7, -0.714],
+        ]
+    )
+    axes = axes / np.linalg.norm(axes, axis=-1, keepdims=True)
+    cases = []
+    for ax in axes:
+        for ang in (np.pi - 5e-4, np.pi - 1e-5, np.pi, 3.0):
+            cases.append(ax * ang)
+    rv = jnp.asarray(np.stack(cases), jnp.float32)
+    R = transforms.axis_angle_to_matrix(rv)
+    R2 = transforms.axis_angle_to_matrix(transforms.matrix_to_axis_angle(R))
+    # f32 arccos conditioning near pi bounds the residual ~2e-3; the broken
+    # branch produced errors of 2.0 here
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=5e-3)
+
+
 def test_apply_refine_delta_matches_reference_composition():
     from scipy.spatial.transform import Rotation
 

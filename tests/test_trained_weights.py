@@ -111,10 +111,14 @@ def test_trained_scorer_ranks_by_alignment(mesh_name, mesh):
             batch=64, hyps_per_scene=8, scorer_angle_power=1.0
         ),
     )
-    out = networks.apply_scorer(
-        params_s, batch["render_input"], batch["transf_input"], NET
-    )
     s, k = batch["labels"].shape
+    # group_size keeps the MultiPair cross-hypothesis attention within each
+    # scene (matching scorer_loss and Register-time semantics); without it
+    # att_cross would attend across scene boundaries.
+    out = networks.apply_scorer(
+        params_s, batch["render_input"], batch["transf_input"], NET,
+        group_size=k,
+    )
     logits = np.asarray(out["scores"]).reshape(s, k)
     add = np.asarray(batch["add"])
     # the property Register needs is that the ARGMAX hypothesis is among

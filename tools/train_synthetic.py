@@ -52,9 +52,15 @@ def build_mesh(name: str):
 
 def evaluate(
     asset, params_r, params_s, cfg, net_cfg, tcfg, n_scenes, seed, use_fused,
-    refine_itr: int = 1,
+    refine_itr: int = 1, fused_face_pad: int | None = None,
 ):
-    """Register + short Track on held-out scenes; returns metric dict."""
+    """Register + short Track on held-out scenes; returns metric dict.
+
+    fused_face_pad: pad the fused tables to a multiple of this so several
+    eval meshes share one compiled kernel signature (tools/train_multi.py
+    evaluates ~8 different meshes; without padding each face count would
+    trigger its own Mosaic compile).
+    """
     import jax.numpy as jnp
 
     from foundationpose_cpp_tpu.geometry import icosphere
@@ -66,7 +72,7 @@ def evaluate(
     from foundationpose_cpp_tpu.training import synthetic as tr
     from foundationpose_cpp_tpu.utils import metrics
 
-    mesh = MeshConstants.from_asset(asset)
+    mesh = MeshConstants.from_asset(asset, fused_face_pad=fused_face_pad)
     K = tr.default_intrinsics(tcfg)
     Kj = jnp.asarray(K)
     rot_grid = jnp.asarray(icosphere.make_rotation_grid())
