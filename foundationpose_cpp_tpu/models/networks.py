@@ -326,6 +326,7 @@ def _apply_backbone(
     head_names: tuple[str, ...],
     cross_attention: bool,
     group_size: int | None = None,
+    axis_name: str | None = None,
 ) -> dict[str, jnp.ndarray]:
     n = render_input.shape[0]
     # siamese encode over a 2N batch (torch.cat([A,B],0) in the original)
@@ -343,12 +344,23 @@ def _apply_backbone(
     for layer in params["encoder"]:
         tokens = _encoder_layer(tokens, layer, cfg.num_heads)
     pooled = tokens.mean(axis=1)  # (N, D)
+    n_local = pooled.shape[0]
     if cross_attention and "att_cross" in params:
         # ScoreNetMultiPair: one encoder layer attending ACROSS the
         # hypotheses of one scene (sequence axis = pose batch). At
         # inference the whole batch is one scene (group_size=None); the
         # trainer packs several scenes per batch and passes their size so
         # attention never crosses scene boundaries.
+        #
+        # Under multi-chip SPMD (axis_name set, called inside shard_map with
+        # the hypothesis axis sharded) the heavy per-hypothesis backbone
+        # above runs on local shards; only the pooled (N, D) embeddings --
+        # a few hundred KB -- ride one all-gather over ICI so the cross
+        # layer still sees every hypothesis, exactly like single-chip.
+        if axis_name is not None:
+            pooled = jax.lax.all_gather(
+                pooled, axis_name, axis=0, tiled=True
+            )  # (N_total, D), device order == hyp-shard order
         d = pooled.shape[-1]
         seq = pooled[None] if group_size is None else pooled.reshape(
             -1, group_size, d
@@ -363,6 +375,14 @@ def _apply_backbone(
         out[name] = jnp.dot(
             pooled, hp["w"].astype(jnp.float32), preferred_element_type=jnp.float32
         ) + hp["b"].astype(jnp.float32)
+    if axis_name is not None and pooled.shape[0] != n_local:
+        # slice the replicated post-gather head outputs back to this
+        # device's hypothesis shard so out_specs stay P(axis)
+        i = jax.lax.axis_index(axis_name)
+        out = {
+            k: jax.lax.dynamic_slice_in_dim(v, i * n_local, n_local, 0)
+            for k, v in out.items()
+        }
     return out
 
 
@@ -411,17 +431,23 @@ def apply_scorer(
     transf_input: jnp.ndarray,
     cfg: NetConfig = NetConfig(),
     group_size: int | None = None,
+    axis_name: str | None = None,
 ) -> dict[str, jnp.ndarray]:
     """ScoreNet(MultiPair): (N,160,160,6) x2 -> {'scores': (N,1)} logits.
 
     The MultiPair cross-hypothesis layer engages when the checkpoint
     carries it (att_cross tensors), matching the converter's auto-detect
     -- a loaded MultiPair checkpoint works without flipping the config.
+
+    axis_name: mesh axis the hypothesis batch is sharded over when called
+    inside shard_map (parallel/sharding.py); the cross layer then
+    all-gathers pooled embeddings so multi-chip scoring matches single-chip.
     """
     return _apply_backbone(
         params, render_input, transf_input, cfg, ("scores",),
         cross_attention=cfg.cross_attention or "att_cross" in params,
         group_size=group_size,
+        axis_name=axis_name,
     )
 
 

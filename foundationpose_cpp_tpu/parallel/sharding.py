@@ -27,7 +27,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from foundationpose_cpp_tpu.config import FoundationPoseConfig
 from foundationpose_cpp_tpu.models import networks
-from foundationpose_cpp_tpu.pipeline.foundationpose import register_step, track_step
+from foundationpose_cpp_tpu.pipeline.foundationpose import (
+    prepare_register,
+    refine_and_score,
+    refine_loop,
+    register_step,
+    track_step,
+)
 from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
 
 HYP_AXIS = "hyp"
@@ -59,24 +65,68 @@ def make_sharded_register(
     cfg: FoundationPoseConfig,
     net_cfg: networks.NetConfig,
     rasterize_fn: Any = None,
+    use_fused: bool | str = False,
 ):
-    """Build a pjit'd Register step sharded over the hypothesis axis.
+    """Build a multi-chip Register step sharded over the hypothesis axis.
 
     Returns fn(params_r, params_s, rgb, depth, mask, rot_grid_padded,
     hyp_valid) -> (best_pose, poses, scores, ok). rot_grid_padded / hyp_valid
     must come from pad_grid(..., mesh size).
+
+    use_fused selects the renderer exactly as in the single-chip pipeline:
+    False = pure-XLA op composition, partitioned automatically by the SPMD
+    partitioner from sharding constraints; True = the Pallas production
+    megakernel ("interpret" = same kernel in interpret mode, for CPU-mesh
+    tests). Pallas custom calls carry no SPMD partitioning rules, so the
+    fused path runs the per-hypothesis section (refine loop + score render +
+    scorer) under shard_map: each chip renders and scores its local
+    hypothesis shard; the only cross-chip traffic is the scorer
+    cross-attention's pooled all-gather (networks.apply_scorer axis_name)
+    and the final argmax, both a few hundred KB over ICI.
     """
     hyp = NamedSharding(device_mesh, P(HYP_AXIS))
     repl = NamedSharding(device_mesh, P())
 
-    def fn(params_r, params_s, rgb, depth, mask, rot_grid, hyp_valid):
-        rot_grid = jax.lax.with_sharding_constraint(rot_grid, hyp)
-        hyp_valid = jax.lax.with_sharding_constraint(hyp_valid, hyp)
-        best, poses, scores, ok = register_step(
-            mesh_consts, params_r, params_s, rgb, depth, mask, rot_grid,
-            K, refine_itr, cfg, net_cfg, rasterize_fn, hyp_valid=hyp_valid,
+    if use_fused:
+        def per_shard(params_r, params_s, rgb, xyz_map, poses, hyp_valid):
+            poses, scores = refine_and_score(
+                mesh_consts, params_r, params_s, poses, rgb, xyz_map, K,
+                refine_itr, cfg, net_cfg, rasterize_fn, use_fused,
+                scorer_axis_name=HYP_AXIS,
+            )
+            scores = jnp.where(hyp_valid, scores, -jnp.inf)
+            return poses, scores
+
+        sharded_body = jax.shard_map(
+            per_shard,
+            mesh=device_mesh,
+            in_specs=(P(), P(), P(), P(), P(HYP_AXIS), P(HYP_AXIS)),
+            out_specs=(P(HYP_AXIS), P(HYP_AXIS)),
+            check_vma=False,
         )
-        return best, poses, scores, ok
+
+        def fn(params_r, params_s, rgb, depth, mask, rot_grid, hyp_valid):
+            poses0, xyz_map, ok = prepare_register(
+                depth, mask, rot_grid, K, cfg
+            )
+            poses, scores = sharded_body(
+                params_r, params_s, rgb, xyz_map, poses0, hyp_valid
+            )
+            best = jnp.argmax(scores)
+            best_pose = jnp.where(ok, poses[best], jnp.nan)
+            return best_pose, poses, scores, ok
+
+    else:
+
+        def fn(params_r, params_s, rgb, depth, mask, rot_grid, hyp_valid):
+            rot_grid = jax.lax.with_sharding_constraint(rot_grid, hyp)
+            hyp_valid = jax.lax.with_sharding_constraint(hyp_valid, hyp)
+            best, poses, scores, ok = register_step(
+                mesh_consts, params_r, params_s, rgb, depth, mask, rot_grid,
+                K, refine_itr, cfg, net_cfg, rasterize_fn,
+                hyp_valid=hyp_valid,
+            )
+            return best, poses, scores, ok
 
     return jax.jit(
         fn,
@@ -93,21 +143,47 @@ def make_sharded_track_batch(
     cfg: FoundationPoseConfig,
     net_cfg: networks.NetConfig,
     rasterize_fn: Any = None,
+    use_fused: bool | str = False,
 ):
-    """pjit'd multi-instance Track sharded over the instance axis.
+    """Multi-instance Track sharded over the instance axis.
 
     fn(params_r, rgb, depth, poses (N,4,4)) -> (N,4,4); N must be a multiple
-    of the mesh size.
+    of the mesh size. use_fused as in make_sharded_register: the Pallas
+    megakernel runs under shard_map (no cross-chip traffic at all here --
+    the refiner has no cross-hypothesis interaction).
     """
     inst = NamedSharding(device_mesh, P(HYP_AXIS))
     repl = NamedSharding(device_mesh, P())
 
-    def fn(params_r, rgb, depth, poses):
-        poses = jax.lax.with_sharding_constraint(poses, inst)
-        return track_step(
-            mesh_consts, params_r, rgb, depth, poses, K, refine_itr, cfg,
-            net_cfg, rasterize_fn,
+    if use_fused:
+        from foundationpose_cpp_tpu.ops import depth as depth_ops
+
+        def per_shard(params_r, rgb, xyz_map, poses):
+            return refine_loop(
+                mesh_consts, params_r, poses, rgb, xyz_map, K, refine_itr,
+                cfg, net_cfg, rasterize_fn, use_fused,
+            )
+
+        sharded_body = jax.shard_map(
+            per_shard,
+            mesh=device_mesh,
+            in_specs=(P(), P(), P(), P(HYP_AXIS)),
+            out_specs=P(HYP_AXIS),
+            check_vma=False,
         )
+
+        def fn(params_r, rgb, depth, poses):
+            xyz_map = depth_ops.depth_to_xyz(depth, K, cfg.min_depth)
+            return sharded_body(params_r, rgb, xyz_map, poses)
+
+    else:
+
+        def fn(params_r, rgb, depth, poses):
+            poses = jax.lax.with_sharding_constraint(poses, inst)
+            return track_step(
+                mesh_consts, params_r, rgb, depth, poses, K, refine_itr, cfg,
+                net_cfg, rasterize_fn,
+            )
 
     return jax.jit(
         fn, in_shardings=(repl, repl, repl, inst), out_shardings=inst

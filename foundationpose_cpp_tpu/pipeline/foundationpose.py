@@ -77,6 +77,80 @@ def refine_loop(
     return poses
 
 
+def prepare_register(
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    rot_grid: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: FoundationPoseConfig,
+    image_hw: tuple | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-image Register front end: depth filters -> translation guess ->
+    hypothesis poses, plus the raw-depth xyz map the crops sample.
+
+    Replicated under multi-chip sharding (cheap, image-sized work); the
+    per-hypothesis heavy lifting lives in refine_and_score.
+    Returns (poses0 (M,4,4), xyz_map, ok).
+    """
+    df = cfg.depth_filter
+    extent_valid = None
+    if image_hw is not None:
+        hh, ww = depth.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+        extent_valid = (rows < image_hw[0]) & (cols < image_hw[1])
+    eroded = depth_ops.erode_depth(
+        depth, df.erode_radius, df.erode_depth_diff_thres,
+        df.erode_ratio_thres, df.zfar, valid=extent_valid,
+    )
+    filtered = depth_ops.bilateral_filter_depth(
+        eroded, df.bilateral_radius, df.bilateral_sigma_d,
+        df.bilateral_sigma_r, df.zfar, df.bilateral_mean_band,
+    )
+    center, ok = depth_ops.guess_translation(filtered, mask, K, cfg.min_depth)
+    poses = rot_grid.at[:, :3, 3].set(center[None, :])
+    xyz_map = depth_ops.depth_to_xyz(depth, K, cfg.min_depth)
+    return poses, xyz_map, ok
+
+
+def refine_and_score(
+    mesh: MeshConstants,
+    params_r: Any,
+    params_s: Any,
+    poses: jnp.ndarray,
+    rgb: jnp.ndarray,
+    xyz_map: jnp.ndarray,
+    K: jnp.ndarray,
+    refine_itr: int,
+    cfg: FoundationPoseConfig,
+    net_cfg: networks.NetConfig,
+    rasterize_fn: Any = None,
+    use_fused: bool = False,
+    image_hw: tuple | None = None,
+    scorer_axis_name: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-hypothesis section of Register: refine loop + score render +
+    scorer. Everything here is embarrassingly parallel over the hypothesis
+    axis except the scorer's optional cross-attention, which all-gathers
+    pooled embeddings when scorer_axis_name names a shard_map mesh axis
+    (parallel/sharding.py wraps this exact function for multi-chip).
+
+    Returns (refined_poses (M,4,4), raw scores (M,)).
+    """
+    poses = refine_loop(
+        mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
+        rasterize_fn, use_fused, image_hw,
+    )
+    render_in, transf_in = render_and_transform(
+        mesh, poses, rgb, xyz_map, K, cfg.score_crop_ratio, cfg, rasterize_fn,
+        use_fused, image_hw,
+    )
+    out = networks.apply_scorer(
+        params_s, render_in, transf_in, net_cfg, axis_name=scorer_axis_name
+    )
+    return poses, out["scores"][:, 0]
+
+
 def register_step(
     mesh: MeshConstants,
     params_r: Any,
@@ -104,37 +178,13 @@ def register_step(
 
     Returns (best_pose, refined_poses, scores, ok).
     """
-    df = cfg.depth_filter
-    extent_valid = None
-    if image_hw is not None:
-        hh, ww = depth.shape
-        rows = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
-        extent_valid = (rows < image_hw[0]) & (cols < image_hw[1])
-    eroded = depth_ops.erode_depth(
-        depth, df.erode_radius, df.erode_depth_diff_thres,
-        df.erode_ratio_thres, df.zfar, valid=extent_valid,
+    poses, xyz_map, ok = prepare_register(
+        depth, mask, rot_grid, K, cfg, image_hw
     )
-    filtered = depth_ops.bilateral_filter_depth(
-        eroded, df.bilateral_radius, df.bilateral_sigma_d,
-        df.bilateral_sigma_r, df.zfar, df.bilateral_mean_band,
+    poses, scores = refine_and_score(
+        mesh, params_r, params_s, poses, rgb, xyz_map, K, refine_itr, cfg,
+        net_cfg, rasterize_fn, use_fused, image_hw,
     )
-    center, ok = depth_ops.guess_translation(filtered, mask, K, cfg.min_depth)
-    poses = rot_grid.at[:, :3, 3].set(center[None, :])
-
-    xyz_map = depth_ops.depth_to_xyz(depth, K, cfg.min_depth)
-
-    poses = refine_loop(
-        mesh, params_r, poses, rgb, xyz_map, K, refine_itr, cfg, net_cfg,
-        rasterize_fn, use_fused, image_hw,
-    )
-
-    render_in, transf_in = render_and_transform(
-        mesh, poses, rgb, xyz_map, K, cfg.score_crop_ratio, cfg, rasterize_fn,
-        use_fused, image_hw,
-    )
-    out = networks.apply_scorer(params_s, render_in, transf_in, net_cfg)
-    scores = out["scores"][:, 0]
     if hyp_valid is not None:
         scores = jnp.where(hyp_valid, scores, -jnp.inf)
     best = jnp.argmax(scores)  # getMaxScoreIndex (thrust) equivalent
@@ -185,6 +235,8 @@ class FoundationPose:
         net_config: networks.NetConfig = networks.NetConfig(),
         rasterize_fn: Any = None,
         use_fused_renderer: bool | None = None,
+        auto_subdivide: bool | None = None,
+        subdivide_max_faces: int = 8192,
     ) -> None:
         if not mesh_assets:
             raise ValueError("[FoundationPose] need at least one mesh asset")
@@ -195,22 +247,38 @@ class FoundationPose:
         self._K = jnp.asarray(np.asarray(intrinsic, dtype=np.float32))
         self._max_h = max_input_image_h
         self._max_w = max_input_image_w
-        self._meshes: dict[str, MeshConstants] = {}
-        self._assets: dict[str, MeshAsset] = {}
-        for asset in mesh_assets:
-            if asset.name in self._meshes:
-                raise ValueError(f"[FoundationPose] duplicate mesh name '{asset.name}'")
-            self._meshes[asset.name] = MeshConstants.from_asset(asset)
-            self._assets[asset.name] = asset
-        self._rot_grid = jnp.asarray(
-            icosphere.make_rotation_grid(config.n_views, config.inplane_step_deg)
-        )
-        self._rasterize_fn = rasterize_fn
         if use_fused_renderer is None:
             # the fused megakernel is the TPU production path; the unfused
             # op composition is the exact/portable path used elsewhere
             use_fused_renderer = jax.default_backend() == "tpu"
         self._use_fused = bool(use_fused_renderer)
+        if auto_subdivide is None:
+            # The texture-fidelity policy (meshio/subdivide.py
+            # subdivide_adaptive) matters exactly when the FUSED renderer is
+            # in play: the megakernel samples the texture at face corners,
+            # so a sharp-textured mesh needs subdividing until corner
+            # sampling matches per-pixel texturing. The unfused path does
+            # true per-pixel bilinear texturing (ops/rasterize.py
+            # texture_bilinear_wrap, reference texture.cu:131-179 semantics)
+            # and needs no policy.
+            auto_subdivide = self._use_fused
+        self._meshes: dict[str, MeshConstants] = {}
+        self._assets: dict[str, MeshAsset] = {}
+        for asset in mesh_assets:
+            if asset.name in self._meshes:
+                raise ValueError(f"[FoundationPose] duplicate mesh name '{asset.name}'")
+            # subdivide_max_faces bounds the fused-render cost the policy
+            # may spend on texture fidelity (render time scales with the
+            # face table); the residual error past the cap is logged.
+            self._meshes[asset.name] = MeshConstants.from_asset(
+                asset, auto_subdivide=bool(auto_subdivide),
+                subdivide_max_faces=subdivide_max_faces,
+            )
+            self._assets[asset.name] = asset
+        self._rot_grid = jnp.asarray(
+            icosphere.make_rotation_grid(config.n_views, config.inplane_step_deg)
+        )
+        self._rasterize_fn = rasterize_fn
         self._register_cache: dict[tuple, Any] = {}
         self._track_cache: dict[tuple, Any] = {}
 

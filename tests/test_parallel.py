@@ -103,3 +103,108 @@ def test_sharded_track_batch_matches_single_device(setup):
     # bf16 conv reductions associate differently under SPMD partitioning;
     # the refine deltas may differ by O(1e-3) in translation
     np.testing.assert_allclose(out_s, out_1, rtol=1e-2, atol=2e-3)
+
+
+def test_sharded_register_fused_matches_single_device(setup):
+    """The PRODUCTION fused Pallas renderer under multi-chip SPMD.
+
+    shard_map over the hypothesis axis (Pallas custom calls have no SPMD
+    partitioning rules); interpret mode runs the same kernel on the CPU
+    mesh. Must agree with the single-device fused path.
+    """
+    mesh, rgb, depth, mask, params_r, params_s = setup
+    grid = icosphere.make_rotation_grid()
+    dev_mesh = sharding.make_hyp_mesh()
+    padded, valid = sharding.pad_grid(grid, len(jax.devices()))
+
+    fn = sharding.make_sharded_register(
+        mesh, dev_mesh, jnp.asarray(K), 1, CFG, NET_CFG,
+        use_fused="interpret",
+    )
+    best_s, poses_s, scores_s, ok_s = fn(
+        params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
+        jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid),
+    )
+    assert bool(ok_s)
+
+    best_1, poses_1, scores_1, ok_1 = jax.jit(
+        lambda pr, ps, a, b, c, g, v: register_step(
+            mesh, pr, ps, a, b, c, g, jnp.asarray(K), 1, CFG, NET_CFG,
+            hyp_valid=v, use_fused="interpret",
+        )
+    )(params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
+      jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid))
+
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_1),
+                               rtol=5e-2, atol=5e-3)
+    assert not np.isfinite(np.asarray(scores_s)[252:]).any()
+    np.testing.assert_allclose(np.asarray(best_s), np.asarray(best_1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(poses_s), np.asarray(poses_1),
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_sharded_register_fused_cross_attention_gathers(setup):
+    """MultiPair cross-attention must see ALL hypotheses under sharding.
+
+    A scorer with att_cross attends across the full hypothesis set on one
+    chip; the sharded path all-gathers pooled embeddings (apply_scorer
+    axis_name) so the scores match the single-device MultiPair scorer --
+    NOT a per-shard-group approximation.
+    """
+    mesh, rgb, depth, mask, params_r, _ = setup
+    net_cfg_x = networks.NetConfig(
+        width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
+        cross_attention=True,
+    )
+    params_sx = networks.init_scorer(7, net_cfg_x)
+    assert "att_cross" in params_sx
+    grid = icosphere.make_rotation_grid()
+    dev_mesh = sharding.make_hyp_mesh()
+    padded, valid = sharding.pad_grid(grid, len(jax.devices()))
+
+    fn = sharding.make_sharded_register(
+        mesh, dev_mesh, jnp.asarray(K), 1, CFG, net_cfg_x,
+        use_fused="interpret",
+    )
+    _, _, scores_s, ok_s = fn(
+        params_r, params_sx, jnp.asarray(rgb), jnp.asarray(depth),
+        jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid),
+    )
+    assert bool(ok_s)
+
+    _, _, scores_1, _ = jax.jit(
+        lambda pr, ps, a, b, c, g, v: register_step(
+            mesh, pr, ps, a, b, c, g, jnp.asarray(K), 1, CFG, net_cfg_x,
+            hyp_valid=v, use_fused="interpret",
+        )
+    )(params_r, params_sx, jnp.asarray(rgb), jnp.asarray(depth),
+      jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid))
+
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_1),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_sharded_track_batch_fused_matches_single_device(setup):
+    mesh, rgb, depth, _, params_r, _ = setup
+    dev_mesh = sharding.make_hyp_mesh()
+    n = 16
+    rng = np.random.default_rng(0)
+    poses = np.tile(synthetic.default_pose(0.5)[None], (n, 1, 1))
+    poses[:, :3, 3] += rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+
+    fn = sharding.make_sharded_track_batch(
+        mesh, dev_mesh, jnp.asarray(K), 1, CFG, NET_CFG,
+        use_fused="interpret",
+    )
+    out_s = np.asarray(fn(params_r, jnp.asarray(rgb), jnp.asarray(depth),
+                          jnp.asarray(poses)))
+
+    out_1 = np.asarray(jax.jit(
+        lambda pr, a, b, p: track_step(
+            mesh, pr, a, b, p, jnp.asarray(K), 1, CFG, NET_CFG,
+            use_fused="interpret",
+        )
+    )(params_r, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses)))
+
+    np.testing.assert_allclose(out_s, out_1, rtol=1e-2, atol=2e-3)
