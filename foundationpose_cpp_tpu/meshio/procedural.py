@@ -244,6 +244,97 @@ def textured_uv_sphere(
     )
 
 
+def scanned_blob(
+    name: str = "scan",
+    seed: int = 0,
+    radius: float = 0.05,
+    n_lat: int = 230,
+    n_lon: int = 230,
+    tex_size: int = 512,
+) -> MeshAsset:
+    """Dense scanned-object stand-in: >=100k-face bumpy blob, 512^2 sharp
+    texture (BundleSDF-style reconstruction output,
+    reference docs/gen_3d_obj_with_bundlesdf.md). Fully vectorized -- a
+    105k-face mesh builds in ~100 ms.
+
+    The radial field mixes several spherical-harmonic-ish frequencies (the
+    lumpy low-poly shape of a fused TSDF) and the texture combines smooth
+    color patches with a fine checker + speckle layer (the baked-in camera
+    texture detail that makes per-pixel texturing matter).
+    """
+    rng = np.random.default_rng(seed)
+    la = np.linspace(0.0, np.pi, n_lat + 1)
+    lo = np.linspace(0.0, 2 * np.pi, n_lon + 1)
+    LA, LO = np.meshgrid(la, lo, indexing="ij")  # (n_lat+1, n_lon+1)
+    nx = np.sin(LA) * np.cos(LO)
+    ny = np.sin(LA) * np.sin(LO)
+    nz = np.cos(LA)
+    # low-frequency lumps: random cosine bumps in direction space
+    r = np.ones_like(LA)
+    for _ in range(6):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        dot = nx * d[0] + ny * d[1] + nz * d[2]
+        r += rng.uniform(0.05, 0.18) * np.cos(
+            rng.uniform(2.0, 5.0) * np.arccos(np.clip(dot, -1, 1))
+        )
+    # seam consistency: duplicate column must carry identical radii
+    r[:, -1] = r[:, 0]
+    verts = (radius * r)[..., None] * np.stack([nx, ny, nz], axis=-1)
+    uvs = np.stack(
+        [LO / (2 * np.pi), LA / np.pi], axis=-1
+    ).reshape(-1, 2).astype(np.float32)
+    verts = verts.reshape(-1, 3).astype(np.float32)
+
+    stride = n_lon + 1
+    i = np.arange(n_lat)[:, None]
+    j = np.arange(n_lon)[None, :]
+    a = i * stride + j
+    b = a + 1
+    c = a + stride
+    d = c + 1
+    up = np.stack([a, c, b], axis=-1)[1:]  # skip degenerate pole row
+    dn = np.stack([b, c, d], axis=-1)[:-1]
+    faces = np.concatenate([up.reshape(-1, 3), dn.reshape(-1, 3)]).astype(
+        np.int32
+    )
+
+    # vertex normals: area-weighted accumulation (bincount beats np.add.at
+    # by ~100x at this size)
+    fv = verts[faces]
+    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    idx = faces.ravel()
+    normals = np.stack(
+        [
+            np.bincount(
+                idx, weights=np.repeat(fn[:, c], 3), minlength=len(verts)
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    nn = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = (normals / np.maximum(nn, 1e-12)).astype(np.float32)
+
+    # texture: smooth blotches + fine checker + speckle
+    ys, xs = np.mgrid[0:tex_size, 0:tex_size] / tex_size
+    tex = np.stack(
+        [
+            0.45 + 0.25 * np.sin(2 * np.pi * (2 * xs + ys)),
+            0.45 + 0.25 * np.sin(2 * np.pi * (xs - 2 * ys) + 1.3),
+            0.5 + 0.2 * np.sin(2 * np.pi * (3 * xs * ys) + 2.1),
+        ],
+        axis=-1,
+    )
+    checker = ((xs * 64).astype(int) + (ys * 64).astype(int)) % 2
+    tex *= 0.75 + 0.25 * checker[..., None]
+    tex += rng.uniform(-0.06, 0.06, tex.shape)
+    return make_mesh_asset(
+        name, verts, faces, uvs, normals,
+        np.clip(tex, 0.0, 1.0).astype(np.float32),
+    )
+
+
 def write_obj(asset: MeshAsset, path: str, texture_path: str | None = None) -> None:
     """Write an asset as OBJ (+MTL+PNG when texture_path given) for loader tests."""
     lines = []

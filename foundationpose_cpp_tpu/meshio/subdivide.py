@@ -18,9 +18,13 @@ resulting error against the reference-semantics per-pixel texture path.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from foundationpose_cpp_tpu.meshio.mesh_loader import MeshAsset, make_mesh_asset
+
+logger = logging.getLogger(__name__)
 
 
 def _face_uv_texels(uvs: np.ndarray, faces: np.ndarray, th: int, tw: int) -> np.ndarray:
@@ -28,6 +32,109 @@ def _face_uv_texels(uvs: np.ndarray, faces: np.ndarray, th: int, tw: int) -> np.
     fuv = uvs[faces]  # (F, 3, 2)
     span = fuv.max(axis=1) - fuv.min(axis=1)  # (F, 2)
     return np.maximum(span[:, 0] * tw, span[:, 1] * th)
+
+
+# probe barycentrics: face barycenter + the three edge midpoints -- the
+# points farthest (in the subdivision metric) from the corners
+_PROBES = np.array(
+    [
+        [1 / 3, 1 / 3, 1 / 3],
+        [0.5, 0.5, 0.0],
+        [0.0, 0.5, 0.5],
+        [0.5, 0.0, 0.5],
+    ]
+)
+
+
+def face_sampling_error(
+    asset_texture: np.ndarray, uvs: np.ndarray, faces: np.ndarray
+) -> np.ndarray:
+    """(F,) worst-case color error of corner sampling vs per-pixel texturing.
+
+    For each face, evaluates the texture bilinearly at interior probe points
+    (barycenter + edge midpoints) and compares with the barycentric
+    interpolation of the corner-sampled colors -- exactly the quantity the
+    fused renderer's vertex sampling gets wrong vs the reference's per-pixel
+    fetch (texture.cu:131-179). Smooth textures yield ~0 regardless of face
+    size; only faces spanning real texture detail score high. Corners are
+    sampled with the renderer's own seam-robust nudge (face_corner_colors)
+    so wrap-seam faces are not flagged for an error subdivision cannot fix.
+    """
+    from foundationpose_cpp_tpu.ops.render_fused import (
+        face_corner_colors,
+        vertex_colors_seam_robust,
+    )
+
+    fuv = uvs[faces]  # (F, 3, 2)
+    corner_col = face_corner_colors(asset_texture, uvs, faces)  # (F, 3, C)
+    err = np.zeros(fuv.shape[0], np.float32)
+    for w in _PROBES:
+        uv_p = np.einsum("j,fjc->fc", w, fuv)  # (F, 2)
+        # seam-robust like the corners: a probe on a wrap-boundary edge
+        # would otherwise flag an error subdivision cannot remove (the
+        # subdivided midpoint corner would be clamped the same way)
+        tex_p = vertex_colors_seam_robust(asset_texture, uv_p)  # (F, C)
+        interp_p = np.einsum("j,fjc->fc", w, corner_col)
+        err = np.maximum(err, np.abs(tex_p - interp_p).max(axis=-1))
+    return err
+
+
+def _split_faces(
+    verts: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    faces: np.ndarray,
+    split: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One midpoint-subdivision round of the faces selected by `split`.
+
+    Edge midpoints are shared between neighbor faces via an edge cache, so
+    the surface stays watertight; normals are renormalized.
+    """
+    vlist = [verts]
+    nlist = [normals]
+    ulist = [uvs]
+    next_idx = verts.shape[0]
+    edge_mid: dict[tuple[int, int], int] = {}
+    new_faces = []
+
+    def midpoint(a: int, b: int) -> int:
+        nonlocal next_idx
+        key = (a, b) if a < b else (b, a)
+        found = edge_mid.get(key)
+        if found is not None:
+            return found
+        vlist.append((vlist[0][a] + vlist[0][b])[None] / 2.0)
+        n = (nlist[0][a] + nlist[0][b]) / 2.0
+        n /= max(np.linalg.norm(n), 1e-12)
+        nlist.append(n[None])
+        ulist.append((ulist[0][a] + ulist[0][b])[None] / 2.0)
+        edge_mid[key] = next_idx
+        next_idx += 1
+        return next_idx - 1
+
+    # midpoint() reads only vlist[0] (face corners index the CURRENT
+    # round's mesh; midpoints are created, never re-read, in one round)
+    for fi, f in enumerate(faces):
+        if not split[fi]:
+            new_faces.append(f)
+            continue
+        a, b, c = (int(x) for x in f)
+        ab = midpoint(a, b)
+        bc = midpoint(b, c)
+        ca = midpoint(c, a)
+        new_faces += [
+            np.array([a, ab, ca]),
+            np.array([ab, b, bc]),
+            np.array([ca, bc, c]),
+            np.array([ab, bc, ca]),
+        ]
+    return (
+        np.concatenate(vlist, axis=0),
+        np.concatenate(nlist, axis=0),
+        np.concatenate(ulist, axis=0),
+        np.stack(new_faces).astype(np.int64),
+    )
 
 
 def subdivide_for_texture(
@@ -57,48 +164,9 @@ def subdivide_for_texture(
         split = ext > max_texels_per_face
         if not split.any() or faces.shape[0] >= max_faces:
             break
-        vlist = [verts]
-        nlist = [normals]
-        ulist = [uvs]
-        next_idx = verts.shape[0]
-        edge_mid: dict[tuple[int, int], int] = {}
-        new_faces = []
-
-        def midpoint(a: int, b: int) -> int:
-            nonlocal next_idx
-            key = (a, b) if a < b else (b, a)
-            found = edge_mid.get(key)
-            if found is not None:
-                return found
-            vlist.append((vlist[0][a] + vlist[0][b])[None] / 2.0)
-            n = (nlist[0][a] + nlist[0][b]) / 2.0
-            n /= max(np.linalg.norm(n), 1e-12)
-            nlist.append(n[None])
-            ulist.append((ulist[0][a] + ulist[0][b])[None] / 2.0)
-            edge_mid[key] = next_idx
-            next_idx += 1
-            return next_idx - 1
-
-        # midpoint() reads only vlist[0] (face corners index the CURRENT
-        # round's mesh; midpoints are created, never re-read, in one round)
-        for fi, f in enumerate(faces):
-            if not split[fi]:
-                new_faces.append(f)
-                continue
-            a, b, c = (int(x) for x in f)
-            ab = midpoint(a, b)
-            bc = midpoint(b, c)
-            ca = midpoint(c, a)
-            new_faces += [
-                np.array([a, ab, ca]),
-                np.array([ab, b, bc]),
-                np.array([ca, bc, c]),
-                np.array([ab, bc, ca]),
-            ]
-        verts = np.concatenate(vlist, axis=0)
-        normals = np.concatenate(nlist, axis=0)
-        uvs = np.concatenate(ulist, axis=0)
-        faces = np.stack(new_faces).astype(np.int64)
+        verts, normals, uvs, faces = _split_faces(
+            verts, normals, uvs, faces, split
+        )
 
     return make_mesh_asset(
         asset.name,
@@ -107,4 +175,75 @@ def subdivide_for_texture(
         uvs.astype(np.float32),
         normals.astype(np.float32),
         asset.texture,
+    )
+
+
+def subdivide_adaptive(
+    asset: MeshAsset,
+    tol: float = 0.05,
+    max_rounds: int = 6,
+    max_faces: int = 65_536,
+) -> tuple[MeshAsset, dict]:
+    """Content-aware subdivision: split only faces whose CORNER sampling
+    measurably deviates from per-pixel texturing (face_sampling_error > tol,
+    on a [0,1] color scale).
+
+    This is the automatic policy the pipeline applies when loading meshes
+    (MeshConstants.from_asset auto_subdivide): a scanned mesh with a sharp
+    high-frequency texture gets reference-grade fidelity, while a mesh whose
+    faces span only smooth texture regions is left untouched no matter how
+    large its faces are -- the trigger is the actual sampling error, not the
+    texel footprint. Returns (asset, info) where info records what the
+    policy did (faces before/after, rounds, worst residual error).
+    """
+    verts = np.asarray(asset.vertices, np.float64)
+    normals = np.asarray(asset.vertex_normals, np.float64)
+    uvs = np.asarray(asset.texcoords, np.float64)
+    faces = np.asarray(asset.faces, np.int64)
+    f0 = faces.shape[0]
+
+    rounds = 0
+    err = face_sampling_error(asset.texture, uvs, faces)
+    for _ in range(max_rounds):
+        split = err > tol
+        if not split.any() or faces.shape[0] >= max_faces:
+            break
+        # respect the face cap: split the worst offenders first
+        budget = (max_faces - faces.shape[0]) // 3
+        if int(split.sum()) > budget:
+            order = np.argsort(-err)
+            keep = order[:budget]
+            split = np.zeros_like(split)
+            split[keep] = err[keep] > tol
+        verts, normals, uvs, faces = _split_faces(
+            verts, normals, uvs, faces, split
+        )
+        rounds += 1
+        err = face_sampling_error(asset.texture, uvs, faces)
+
+    info = {
+        "faces_before": int(f0),
+        "faces_after": int(faces.shape[0]),
+        "rounds": rounds,
+        "max_residual_error": float(err.max()) if err.size else 0.0,
+        "tol": float(tol),
+    }
+    if rounds == 0:
+        return asset, info
+    logger.info(
+        "[subdivide_adaptive] mesh '%s': %d -> %d faces in %d round(s) "
+        "(corner-sampling error tol %.3f, residual %.3f)",
+        asset.name, f0, faces.shape[0], rounds, tol,
+        info["max_residual_error"],
+    )
+    return (
+        make_mesh_asset(
+            asset.name,
+            verts.astype(np.float32),
+            faces.astype(np.int32),
+            uvs.astype(np.float32),
+            normals.astype(np.float32),
+            asset.texture,
+        ),
+        info,
     )

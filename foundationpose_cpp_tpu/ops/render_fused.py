@@ -89,6 +89,30 @@ def sample_texture_at_uv(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
     ).astype(np.float32)
 
 
+def vertex_colors_seam_robust(texture: np.ndarray, uvs: np.ndarray) -> np.ndarray:
+    """(V, C) texture sampled at each vertex UV, seam-robust.
+
+    Sampling EXACTLY at a UV-wrap boundary (u or v within half a texel of
+    0/1) bilinearly blends opposite texture edges (wrap semantics,
+    texture.cu:131-179); a vertex sample there would smear that blend
+    across every incident face when the fused kernel interpolates corner
+    colors. Boundary UVs are clamped half a texel inside; interior UVs
+    sample exactly, unchanged.
+    """
+    th, tw = texture.shape[:2]
+    uvn = np.asarray(uvs, np.float64).copy()
+    uvn[:, 0] = np.clip(uvn[:, 0], 0.5 / tw, 1.0 - 0.5 / tw)
+    uvn[:, 1] = np.clip(uvn[:, 1], 0.5 / th, 1.0 - 0.5 / th)
+    return sample_texture_at_uv(texture, uvn)
+
+
+def face_corner_colors(
+    texture: np.ndarray, uvs: np.ndarray, faces: np.ndarray
+) -> np.ndarray:
+    """(F, 3, C) seam-robust texture colors at each face corner."""
+    return vertex_colors_seam_robust(texture, uvs)[faces]
+
+
 def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
     """Sort order of 3-D points along a Morton (Z-order) curve."""
     pts = np.asarray(points, dtype=np.float64)
@@ -166,10 +190,19 @@ class FusedMeshTables:
     backface_cull_ok: bool = False
 
     @staticmethod
-    def from_asset(asset: MeshAsset, face_pad: int | None = None) -> "FusedMeshTables":
+    def from_asset(
+        asset: MeshAsset,
+        face_pad: int | None = None,
+        as_numpy: bool = False,
+    ) -> "FusedMeshTables":
         """face_pad: pad the tables to a multiple of this with all-zero
         (degenerate -> prepass-culled) faces, so meshes with different face
-        counts share one kernel executable (num_faces is a static shape)."""
+        counts share one kernel executable (num_faces is a static shape).
+
+        as_numpy keeps the tables host-side (numpy) -- used by bulk builders
+        (training/multi.build_mesh_bank) that restack many meshes before one
+        device transfer; dozens of small H2D dispatches are pathologically
+        slow over a high-latency device tunnel."""
         centered = asset.vertices - asset.model_center[None, :]
         faces0 = np.asarray(asset.faces)
         cull_ok = winding_consistent_closed(centered, faces0)
@@ -180,8 +213,7 @@ class FusedMeshTables:
         faces = faces0[order]
         fv = centered[faces]
         fn = asset.vertex_normals[faces]
-        vcol = sample_texture_at_uv(asset.texture, asset.texcoords)
-        fc = vcol[faces]
+        fc = face_corner_colors(asset.texture, asset.texcoords, faces)
         if face_pad is not None:
             pad = (-fv.shape[0]) % face_pad
 
@@ -191,10 +223,13 @@ class FusedMeshTables:
                 ) if pad else a
 
             fv, fn, fc = _pad(fv), _pad(fn), _pad(fc)
+        conv = (lambda a: np.asarray(a, np.float32)) if as_numpy else (
+            lambda a: jnp.asarray(a, jnp.float32)
+        )
         return FusedMeshTables(
-            face_verts=jnp.asarray(fv, jnp.float32),
-            face_normals=jnp.asarray(fn, jnp.float32),
-            face_colors=jnp.asarray(fc, jnp.float32),
+            face_verts=conv(fv),
+            face_normals=conv(fn),
+            face_colors=conv(fc),
             num_faces=int(fv.shape[0]),
             diameter=float(asset.diameter),
             backface_cull_ok=cull_ok,
@@ -809,8 +844,20 @@ def render_views_fused(
     # view-group size: bound the packed-table HBM footprint (lane-padded
     # face-major coeffs + component-major attrs per view), then shrink the
     # group so it divides N as evenly as possible (group=31 for N=252 would
-    # pad to 310 views -- 23% of the kernel time spent rendering padding)
-    group_max = max(1, min(n, (192 * 1024 * 1024) // (f_pad * (128 + 24) * 4)))
+    # pad to 310 views -- 23% of the kernel time spent rendering padding).
+    # A second bound keeps the per-pallas_call VMEM demand under the ~16 MB
+    # scoped limit: one view's table blocks are double-buffered
+    # (f_pad*(16+24)*4*2 bytes) and XLA may place the call's whole
+    # (g, TY, TX, 8, LANES) result in VMEM, which scales with g -- a 32k-face
+    # mesh (the subdivision policy cap) OOMs at g=10 but runs at g<=2.
+    table_bytes = f_pad * (16 + 24) * 4 * 2
+    out_bytes_per_view = n_ty * n_tx * 8 * LANES * 4
+    vmem_budget = 11 * 1024 * 1024
+    group_vmem = max(1, (vmem_budget - table_bytes) // out_bytes_per_view)
+    group_max = max(
+        1,
+        min(n, (192 * 1024 * 1024) // (f_pad * (128 + 24) * 4), group_vmem),
+    )
     n_groups_min = -(-n // group_max)
     group = -(-n // n_groups_min)
     pad_n = (-n) % group

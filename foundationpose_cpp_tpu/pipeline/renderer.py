@@ -61,8 +61,26 @@ class MeshConstants:
 
     @staticmethod
     def from_asset(
-        asset: MeshAsset, face_pad: int = 128, fused_face_pad: int | None = None
+        asset: MeshAsset,
+        face_pad: int = 128,
+        fused_face_pad: int | None = None,
+        auto_subdivide: bool = False,
+        subdivide_tol: float = 0.05,
+        subdivide_max_faces: int = 65_536,
     ) -> "MeshConstants":
+        if auto_subdivide:
+            # content-aware texture-fidelity policy: subdivide exactly the
+            # faces whose corner sampling deviates from per-pixel texturing
+            # (the fused kernel samples at corners; the reference fetches
+            # per pixel, texture.cu:131-179). Meshes with smooth textures
+            # pass through untouched; the policy logs what it did.
+            from foundationpose_cpp_tpu.meshio.subdivide import (
+                subdivide_adaptive,
+            )
+
+            asset, _ = subdivide_adaptive(
+                asset, tol=subdivide_tol, max_faces=subdivide_max_faces
+            )
         verts = asset.vertices - asset.model_center[None, :]
         uv = np.stack(
             [asset.texcoords[:, 0], 1.0 - asset.texcoords[:, 1]], axis=-1

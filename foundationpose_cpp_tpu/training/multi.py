@@ -77,7 +77,7 @@ def build_mesh_bank(
                 f"[MeshBank] asset '{a.name}' diameter {a.diameter} != {diam}; "
                 "the bank requires a common family diameter (meshio/family.py)"
             )
-    tables = [FusedMeshTables.from_asset(a) for a in assets]
+    tables = [FusedMeshTables.from_asset(a, as_numpy=True) for a in assets]
     f_max = max(t.num_faces for t in tables)
     f_pad = -(-f_max // face_pad) * face_pad
 

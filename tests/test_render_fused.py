@@ -13,6 +13,7 @@ from foundationpose_cpp_tpu.ops.render_fused import (
     FusedMeshTables,
     render_views_fused,
     sample_texture_at_uv,
+    vertex_colors_seam_robust,
 )
 from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
 from foundationpose_cpp_tpu.utils import synthetic
@@ -29,7 +30,7 @@ def _unfused_reference(asset, mesh, poses, clipm):
     branch of render_and_transform."""
     clip = transforms.transform_points_homogeneous(clipm, mesh.vertices)
     rast = ras.rasterize(clip, mesh.faces, CROP, CROP, face_valid=mesh.face_valid)
-    vcol = jnp.asarray(sample_texture_at_uv(asset.texture, asset.texcoords))
+    vcol = jnp.asarray(vertex_colors_seam_robust(asset.texture, asset.texcoords))
     pts_cam = transforms.transform_points(poses, mesh.vertices)
     diffuse = transforms.diffuse_intensity(poses, mesh.normals)
     n = poses.shape[0]

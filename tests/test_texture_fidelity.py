@@ -141,6 +141,79 @@ def test_smooth_texture_needs_no_subdivision():
     assert err < 0.03, f"smooth-texture error {err:.4f}"
 
 
+def test_adaptive_policy_triggers_only_on_real_sampling_error():
+    """The automatic policy (wired into MeshConstants.from_asset /
+    FoundationPose) is content-aware: it splits faces by the measured
+    corner-vs-per-pixel sampling error, not by texel footprint."""
+    from foundationpose_cpp_tpu.meshio.subdivide import subdivide_adaptive
+
+    # smooth gradient over huge faces: untouched
+    base = procedural.textured_uv_sphere(radius=0.05, n_lat=10, n_lon=14)
+    ys, xs = np.mgrid[0:64, 0:64] / 64.0
+    smooth = np.stack(
+        [0.2 + 0.6 * xs, 0.3 + 0.5 * ys, 0.5 + 0.3 * xs * ys], axis=-1
+    ).astype(np.float32)
+    smooth_asset = make_mesh_asset(
+        base.name, base.vertices, base.faces, base.texcoords,
+        base.vertex_normals, smooth,
+    )
+    same, info = subdivide_adaptive(smooth_asset)
+    assert info["rounds"] == 0 and same is smooth_asset
+    # big texel footprint, still untouched
+    assert _face_uv_texels(base.texcoords, base.faces, 64, 64).max() > 5
+
+    # checkerboard: policy subdivides and the fused-render error closes
+    sharp = _sharp_sphere()
+    fine, info = subdivide_adaptive(sharp, tol=0.05)
+    assert info["faces_after"] > info["faces_before"]
+    poses = _poses(n=2)
+    mesh, clipm = _clip(sharp, poses)
+    want = _perpixel_reference(sharp, mesh, poses, clipm)
+    err_coarse = _fg_mean_err(_fused_color(sharp, poses, clipm), want)
+    err_fine = _fg_mean_err(_fused_color(fine, poses, clipm), want)
+    assert err_fine < err_coarse / 2
+    # geometry is exactly preserved (midpoints stay on the surface mesh)
+    np.testing.assert_allclose(fine.diameter, sharp.diameter, rtol=1e-5)
+
+
+def test_adaptive_policy_respects_face_cap():
+    from foundationpose_cpp_tpu.meshio.subdivide import subdivide_adaptive
+
+    sharp = _sharp_sphere()
+    fine, info = subdivide_adaptive(sharp, tol=0.02, max_faces=1000)
+    assert info["faces_after"] <= 1000 + 3 * sharp.num_faces  # one round slack
+    assert info["max_residual_error"] > 0.02  # cap hit -> residual recorded
+
+
+def test_pipeline_applies_policy_with_fused_renderer():
+    """FoundationPose auto-subdivides exactly when the fused renderer is
+    selected (the unfused path already does per-pixel texturing)."""
+    from foundationpose_cpp_tpu import networks
+    from foundationpose_cpp_tpu.pipeline.foundationpose import FoundationPose
+
+    sharp = _sharp_sphere()
+    net_cfg = networks.NetConfig(
+        width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
+    )
+    cfg = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
+    kwargs = dict(
+        intrinsic=K, max_input_image_h=128, max_input_image_w=128,
+        config=cfg, net_config=net_cfg,
+    )
+    params_r = networks.init_refiner(0, net_cfg)
+    params_s = networks.init_scorer(1, net_cfg)
+    plain = FoundationPose(
+        params_r, params_s, [sharp], use_fused_renderer=False, **kwargs
+    )
+    subdivided = FoundationPose(
+        params_r, params_s, [sharp], use_fused_renderer="interpret",
+        subdivide_max_faces=2000, **kwargs
+    )
+    f_plain = int(plain._meshes[sharp.name].fused.num_faces)
+    f_sub = int(subdivided._meshes[sharp.name].fused.num_faces)
+    assert f_sub > f_plain
+
+
 def test_subdivision_preserves_geometry():
     sharp = _sharp_sphere()
     fine = subdivide_for_texture(sharp, max_texels_per_face=2.0)
