@@ -37,6 +37,9 @@ def main() -> None:
     from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
     from foundationpose_cpp_tpu.utils import synthetic
 
+    from foundationpose_cpp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = FoundationPoseConfig()
     net_cfg = networks.NetConfig()
@@ -139,6 +142,184 @@ def main() -> None:
     reg_dt = time.perf_counter() - t0
     register_fps = reg_iters / reg_dt
 
+    # ---- Register at refine_itr=2: the quality-parity knob the README
+    # advertises (0.66 deg / 0.99 mm); reference knob foundationpose.hpp:41
+    itr2_iters = 16
+    rgbs2, depths2, masks2 = rgbs[:itr2_iters], depths[:itr2_iters], masks[:itr2_iters]
+
+    @jax.jit
+    def register_loop_itr2(params_r, params_s, rgbs, depths, masks, rot_grid):
+        def body(carry, xs):
+            rgb_t, depth_t, mask_t = xs
+            best, _, _, _ = register_step(
+                mesh, params_r, params_s, rgb_t, depth_t, mask_t, rot_grid,
+                Kj, 2, cfg, net_cfg, use_fused=use_fused,
+            )
+            return best, None
+
+        best, _ = jax.lax.scan(
+            body, jnp.eye(4, dtype=jnp.float32), (rgbs, depths, masks)
+        )
+        return best
+
+    out = register_loop_itr2(params_r, params_s, rgbs2, depths2, masks2, rot_grid)
+    _ = np.asarray(out)
+    t0 = time.perf_counter()
+    out = register_loop_itr2(params_r, params_s, rgbs2, depths2, masks2, rot_grid)
+    _ = np.asarray(out)
+    register_fps_itr2 = itr2_iters / (time.perf_counter() - t0)
+
+    # ---- Track pipelined: per-frame call boundary with frames in flight.
+    # Deployment shape (pipeline/async_tracker.py): each frame pays its own
+    # H2D and dispatch, the pose feeds forward as a DEVICE array, and the
+    # consumer reads poses with a small lag so readbacks overlap dispatches
+    # instead of serializing on the ~26 ms tunnel round trip.
+    frames_np = [np.asarray(rgb)] * 4  # 4 distinct host buffers, same pixels
+    depths_np = [np.asarray(depth)] * 4
+    lag = 4
+    pipe_iters = 64
+    pose_dev = track_once(params_r, rgb, depth, pose0)
+    _ = np.asarray(pose_dev)  # settle
+    pending = []
+    # double-buffered H2D: frame i+1's transfer is enqueued (device_put is
+    # async) before frame i's track dispatch, so transfers overlap compute
+    # and the per-frame tunnel round trip is paid once, not three times
+    staged = (
+        jax.device_put(frames_np[0]),
+        jax.device_put(depths_np[0]),
+    )
+    t0 = time.perf_counter()
+    pose_dev = pose0
+    for i in range(pipe_iters):
+        rgb_d, depth_d = staged
+        if i + 1 < pipe_iters:
+            staged = (
+                jax.device_put(frames_np[(i + 1) % 4]),
+                jax.device_put(depths_np[(i + 1) % 4]),
+            )
+        pose_dev = track_once(params_r, rgb_d, depth_d, pose_dev)
+        pending.append(pose_dev)
+        if len(pending) > lag:
+            _ = np.asarray(pending.pop(0))  # lagged consumer readback
+    for p in pending:
+        _ = np.asarray(p)
+    track_fps_pipelined = pipe_iters / (time.perf_counter() - t0)
+
+    # ---- Register stage breakdown: where does the frame budget go?
+    # Each stage loops in-scan with stacked inputs (hoisting honesty as
+    # above); times include the stage's own data movement only.
+    from foundationpose_cpp_tpu.ops import depth as depth_ops
+    from foundationpose_cpp_tpu.pipeline.renderer import render_and_transform
+
+    xyz_map = depth_ops.depth_to_xyz(depth, Kj, cfg.min_depth)
+    poses252 = jnp.asarray(
+        np.asarray(rot_grid).copy()
+    ).at[:, :3, 3].set(jnp.asarray(gt[:3, 3])[None])
+    stage_iters = 8
+
+    @jax.jit
+    def render_loop(poses_s):
+        def body(carry, poses_t):
+            ri, ti = render_and_transform(
+                mesh, poses_t, rgb, xyz_map, Kj, cfg.refine_crop_ratio, cfg,
+                None, use_fused,
+            )
+            return carry + ri.mean() + ti.mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), poses_s)
+        return acc
+
+    poses_s = jnp.stack([poses252] * stage_iters)
+    _ = np.asarray(render_loop(poses_s))
+    t0 = time.perf_counter()
+    _ = np.asarray(render_loop(poses_s))
+    render_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+
+    ri, ti = render_and_transform(
+        mesh, poses252, rgb, xyz_map, Kj, cfg.refine_crop_ratio, cfg, None,
+        use_fused,
+    )
+    ris = jnp.stack([ri] * stage_iters)
+    tis = jnp.stack([ti] * stage_iters)
+
+    def net_loop(apply):
+        @jax.jit
+        def loop(params, ris, tis):
+            def body(carry, xs):
+                a, b = xs
+                out = apply(params, a, b, net_cfg)
+                return carry + sum(v.mean() for v in out.values()), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), (ris, tis))
+            return acc
+
+        return loop
+
+    refiner_loop = net_loop(networks.apply_refiner)
+    _ = np.asarray(refiner_loop(params_r, ris, tis))
+    t0 = time.perf_counter()
+    _ = np.asarray(refiner_loop(params_r, ris, tis))
+    refiner_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+
+    scorer_loop = net_loop(networks.apply_scorer)
+    _ = np.asarray(scorer_loop(params_s, ris, tis))
+    t0 = time.perf_counter()
+    _ = np.asarray(scorer_loop(params_s, ris, tis))
+    scorer_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+
+    # ---- Scanned-mesh scale (BundleSDF config at realistic size): a dense
+    # scan stand-in decimated by the loader path, auto-subdivision policy
+    # applied, fused 252-view render timed at the resulting face count.
+    from foundationpose_cpp_tpu.geometry import transforms as geo
+    from foundationpose_cpp_tpu.meshio import procedural as proc
+    from foundationpose_cpp_tpu.meshio.decimate import (
+        decimate_vertex_clustering,
+    )
+    from foundationpose_cpp_tpu.meshio.subdivide import subdivide_adaptive
+
+    scan_raw = proc.scanned_blob(seed=3)
+    # exercise the production loader path at scan scale: OBJ round trip
+    # through the native C++ parser (meshio/mesh_loader.py fast path)
+    import tempfile
+
+    from foundationpose_cpp_tpu.meshio.mesh_loader import load_mesh
+
+    with tempfile.TemporaryDirectory() as td:
+        proc.write_obj(scan_raw, f"{td}/scan.obj", f"{td}/scan_tex.png")
+        t0 = time.perf_counter()
+        scan_raw = load_mesh("scan", f"{td}/scan.obj")
+        scan_parse_ms = (time.perf_counter() - t0) * 1e3
+    scan_dec = decimate_vertex_clustering(scan_raw, target_faces=12_000)
+    scan_asset, scan_info = subdivide_adaptive(scan_dec, max_faces=32_768)
+    scan_mesh = MeshConstants.from_asset(scan_asset)
+    tfs = geo.compute_crop_window_tf(
+        poses252, Kj, (cfg.crop_window_h, cfg.crop_window_w),
+        cfg.refine_crop_ratio, scan_mesh.diameter,
+    )
+    bbox = geo.construct_bbox2d(tfs, cfg.crop_window_h, cfg.crop_window_w)
+    clipm = geo.pose_clip_matrix(poses252, bbox, Kj, h, w, cfg.znear, cfg.zfar)
+
+    from foundationpose_cpp_tpu.pipeline.renderer import render_branch
+
+    @jax.jit
+    def scan_render_loop(clipms):
+        def body(carry, cm):
+            out = render_branch(
+                scan_mesh, poses252, cm, cfg.crop_window_h, cfg.crop_window_w,
+                cfg, None, use_fused,
+            )
+            return carry + out.mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), clipms)
+        return acc
+
+    scan_iters = 4
+    clipms = jnp.stack([clipm] * scan_iters)
+    _ = np.asarray(scan_render_loop(clipms))
+    t0 = time.perf_counter()
+    _ = np.asarray(scan_render_loop(clipms))
+    render_ms_scan = (time.perf_counter() - t0) / scan_iters * 1e3
+
     result = {
         "metric": "register_fps",
         "value": round(register_fps, 3),
@@ -147,7 +328,22 @@ def main() -> None:
         "details": {
             "track_fps": round(track_fps, 2),
             "track_fps_percall": round(track_fps_percall, 2),
+            "track_fps_pipelined": round(track_fps_pipelined, 2),
             "track_vs_baseline": round(track_fps / 220.0, 3),
+            "register_fps_itr2": round(register_fps_itr2, 3),
+            "stage_ms": {
+                "render_252": round(render_ms, 1),
+                "refiner_252": round(refiner_ms, 1),
+                "scorer_252": round(scorer_ms, 1),
+            },
+            "scan": {
+                "faces_raw": int(scan_raw.num_faces),
+                "faces_decimated": int(scan_dec.num_faces),
+                "faces_final": int(scan_asset.num_faces),
+                "subdivide_rounds": int(scan_info["rounds"]),
+                "native_parse_ms": round(scan_parse_ms, 1),
+                "render_ms_scan": round(render_ms_scan, 1),
+            },
             "platform": jax.devices()[0].platform,
             "mesh_faces": int(sphere.num_faces),
             "image": [h, w],

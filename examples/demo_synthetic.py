@@ -49,6 +49,8 @@ def _load_or_init(weights_dir: str | None, kind: str, mesh_name: str,
         for cand in (
             f"{kind}_{mesh_name}_{net}.npz",
             f"{kind}_cube_{net}.npz",
+            # object-generalizable family-trained weights (training/multi.py)
+            f"{kind}_multi_{net}.npz",
             f"{kind}.npz",
         ):
             p = pathlib.Path(weights_dir) / cand
@@ -65,13 +67,17 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--out", type=str, default="/tmp/fp_demo")
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
-    ap.add_argument("--mesh", default="cube",
+    ap.add_argument("--mesh", default="cube6",
                     choices=["cube", "cube6", "house"],
-                    help="cube6 = face-colored cube; house = fully "
-                         "asymmetric box+roof (both pose-unique)")
-    ap.add_argument("--weights", default=None,
+                    help="cube6 = face-colored cube (committed trained "
+                         "weights); house = fully asymmetric box+roof; "
+                         "cube = checkerboard texture (exercises the "
+                         "auto-subdivision texture-fidelity policy on TPU)")
+    ap.add_argument("--weights",
+                    default=os.path.join(_REPO_ROOT, "weights"),
                     help="directory of trained npz weights "
-                         "(tools/train_synthetic.py --out)")
+                         "(tools/train_synthetic.py --out); pass '' to "
+                         "run with random-init nets")
     ap.add_argument("--net", default="full", choices=["full", "small"])
     args = ap.parse_args()
     out_dir = pathlib.Path(args.out)
