@@ -28,6 +28,9 @@ class TrackRecord:
     pose: np.ndarray
     skipped_frames: int
     latency_s: float
+    # host time spent issuing the (async) device dispatch; the gap to
+    # latency_s is transfer + in-flight pipeline time
+    dispatch_s: float = 0.0
 
 
 class AsyncTracker:
@@ -60,6 +63,7 @@ class AsyncTracker:
         )
         self._stop = threading.Event()
         self._frame_counter = 0
+        self._packed_step = None  # jitted packed-frame Track, built lazily
 
     def push_frame(self, rgb: np.ndarray, depth: np.ndarray) -> None:
         """Producer side (any thread)."""
@@ -84,36 +88,113 @@ class AsyncTracker:
         on_pose: Callable[[TrackRecord], None] | None = None,
         max_frames: int | None = None,
         idle_sleep_s: float = 0.0005,
+        pipeline_depth: int = 3,
     ) -> list[TrackRecord]:
-        """Consumer loop: track until stop() or max_frames processed."""
-        pose = np.asarray(initial_pose, dtype=np.float32)
-        records: list[TrackRecord] = []
-        processed = 0
-        while not self._stop.is_set():
-            item = self._ring.pop_latest()
-            if item is None:
-                if max_frames is not None and processed >= max_frames:
-                    break
-                time.sleep(idle_sleep_s)
-                continue
-            buf, skipped = item
-            rgb, depth = self._unpack(buf)
-            t0 = time.perf_counter()
-            pose = self._model.track(
-                rgb, depth, pose, self._target, self._refine_itr
+        """Consumer loop: track until stop() or max_frames processed.
+
+        Deployment-shaped pipelining (three overlapped stages):
+          uploader thread: ring.pop_latest -> ONE device_put of the packed
+            u8 frame (H2D overlaps the tracking dispatches);
+          this thread: chained async dispatches of the packed-frame Track
+            program -- the pose stays a DEVICE array between frames, so no
+            per-frame D2H serializes the chain;
+          readback: poses are fetched `pipeline_depth` frames behind the
+            dispatch front (0 = fully synchronous, old behavior).
+        on_pose still fires in frame order, `pipeline_depth` frames late.
+        """
+        import queue
+
+        import jax
+
+        if self._packed_step is None:
+            self._packed_step = self._model.make_packed_tracker(
+                self._target, self._hw, self._refine_itr
             )
+        step = self._packed_step
+        pose_dev = jax.device_put(
+            np.asarray(initial_pose, dtype=np.float32)
+        )
+        records: list[TrackRecord] = []
+        staged: "queue.Queue" = queue.Queue(maxsize=2)
+        done = object()
+
+        def uploader() -> None:
+            n = 0
+            while not self._stop.is_set() and (
+                max_frames is None or n < max_frames
+            ):
+                item = self._ring.pop_latest()
+                if item is None:
+                    # wait for the producer (same as the pre-pipelined loop:
+                    # a bounded run blocks until max_frames frames arrive)
+                    time.sleep(idle_sleep_s)
+                    continue
+                buf, skipped = item
+                t_cap = time.perf_counter()
+                dev = jax.device_put(buf)
+                while not self._stop.is_set():
+                    try:
+                        staged.put((dev, skipped, t_cap), timeout=0.2)
+                        n += 1
+                        break
+                    except queue.Full:
+                        continue
+            while not self._stop.is_set():
+                try:
+                    staged.put(done, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
+
+        up = threading.Thread(target=uploader, daemon=True)
+        up.start()
+        pending: list[tuple[int, float, int, float, "jax.Array"]] = []
+        processed = 0
+
+        def complete(entry) -> None:
+            idx, t_cap, skipped, disp, dev = entry
+            pose_np = np.asarray(dev)
             rec = TrackRecord(
-                frame_index=processed,
-                pose=pose,
+                frame_index=idx,
+                pose=pose_np,
                 skipped_frames=skipped,
-                latency_s=time.perf_counter() - t0,
+                latency_s=time.perf_counter() - t_cap,
+                dispatch_s=disp,
             )
             records.append(rec)
             if on_pose is not None:
                 on_pose(rec)
-            processed += 1
-            if max_frames is not None and processed >= max_frames:
-                break
+
+        try:
+            while not self._stop.is_set():
+                try:
+                    item = staged.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+                if item is done:
+                    break
+                dev, skipped, t_cap = item
+                t0 = time.perf_counter()
+                pose_dev = step(dev, pose_dev)
+                disp = time.perf_counter() - t0
+                pending.append((processed, t_cap, skipped, disp, pose_dev))
+                processed += 1
+                if len(pending) > max(0, pipeline_depth):
+                    complete(pending.pop(0))
+                if max_frames is not None and processed >= max_frames:
+                    break
+            for entry in pending:
+                complete(entry)
+            pending.clear()
+        finally:
+            self._stop.set()
+            while True:  # unblock the uploader if it is mid-put
+                try:
+                    staged.get_nowait()
+                except queue.Empty:
+                    break
+            up.join(timeout=2.0)
+            self._stop.clear()  # run() may be called again
         return records
 
     def stop(self) -> None:

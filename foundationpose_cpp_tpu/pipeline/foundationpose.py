@@ -550,6 +550,57 @@ class FoundationPose:
         )
         return np.asarray(out)
 
+    def make_packed_tracker(
+        self,
+        target_name: str,
+        frame_hw: tuple[int, int],
+        refine_itr: int = 1,
+    ):
+        """Deployment fast path for per-frame tracking (AsyncTracker).
+
+        Returns step(packed, pose) -> pose: a jitted Track whose input is
+        ONE packed uint8 frame buffer of shape (H*W*7,) -- rgb uint8 bytes
+        followed by depth float32 bytes, exactly the native FrameRing
+        layout -- and whose pose is a DEVICE array fed forward across
+        calls. A frame therefore costs exactly one H2D and zero D2H; JAX
+        dispatch is async, so back-to-back calls pipeline on the chip
+        (measured 1.7 ms/call chained on v5e, vs ~26 ms for the np-in /
+        np-out track() that pays a host round trip per call). The caller
+        reads poses back with np.asarray at its own (lagged) cadence.
+        """
+        if target_name not in self._meshes:
+            raise KeyError(
+                f"[FoundationPose] unknown target '{target_name}'; "
+                f"registered: {sorted(self._meshes)}"
+            )
+        h, w = int(frame_hw[0]), int(frame_hw[1])
+        if h > self._max_h or w > self._max_w:
+            raise ValueError(
+                f"[FoundationPose] frame ({h}, {w}) exceeds max "
+                f"({self._max_h}, {self._max_w})"
+            )
+        mesh = self._meshes[target_name]
+        rgb_n = h * w * 3
+        itr = int(refine_itr)
+
+        @jax.jit
+        def step(params_r, packed, pose):
+            rgb = packed[:rgb_n].reshape(h, w, 3).astype(jnp.float32)
+            depth = jax.lax.bitcast_convert_type(
+                packed[rgb_n:].reshape(h, w, 4), jnp.float32
+            )
+            poses = track_step(
+                mesh, params_r, rgb, depth, pose[None, :, :], self._K, itr,
+                self._cfg, self._net_cfg, self._rasterize_fn,
+                use_fused=self._use_fused,
+            )
+            return poses[0]
+
+        def bound(packed, pose):
+            return step(self._refiner_params, packed, pose)
+
+        return bound
+
     def convert_pose_mesh2bbox(self, pose: np.ndarray, target_name: str) -> np.ndarray:
         """Pose frame change mesh -> oriented bbox (mesh_loader.hpp:75-81)."""
         mesh = self._meshes[target_name]
