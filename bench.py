@@ -280,6 +280,30 @@ def main() -> None:
 
         return loop
 
+    # corner-texturing render for comparison: the production default is
+    # the per-face texel-patch mode ("auto" enables it whenever corner
+    # sampling measurably deviates from per-pixel texturing, which it does
+    # on this sphere's banded texture); corner mode is ~10% faster and
+    # was the round-2 semantics
+    mesh_corner = MeshConstants.from_asset(sphere, texture_patch_k=0)
+
+    @jax.jit
+    def render_loop_corner(poses_s):
+        def body(carry, poses_t):
+            ri, ti = render_and_transform(
+                mesh_corner, poses_t, rgb, xyz_map, Kj,
+                cfg.refine_crop_ratio, cfg, None, use_fused,
+            )
+            return carry + ri.mean() + ti.mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), poses_s)
+        return acc
+
+    _ = np.asarray(render_loop_corner(poses_s))
+    t0 = time.perf_counter()
+    _ = np.asarray(render_loop_corner(poses_s))
+    render_corner_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+
     refiner_loop = net_loop(networks.apply_refiner)
     _ = np.asarray(refiner_loop(params_r, ris, tis))
     t0 = time.perf_counter()
@@ -321,7 +345,11 @@ def main() -> None:
         # parse + texture decode + normals/diameter/OBB geometry
         scan_load_ms = (time.perf_counter() - t0) * 1e3
     scan_dec = decimate_vertex_clustering(scan_raw, target_faces=12_000)
-    scan_asset, scan_info = subdivide_adaptive(scan_dec, max_faces=32_768)
+    # the production loader policy: per-face texel patches + gain-gated
+    # adaptive subdivision (patch metric), exactly what FoundationPose does
+    scan_asset, scan_info = subdivide_adaptive(
+        scan_dec, max_faces=32_768, patch_k=4
+    )
     scan_mesh = MeshConstants.from_asset(scan_asset)
     tfs = geo.compute_crop_window_tf(
         poses252, Kj, (cfg.crop_window_h, cfg.crop_window_w),
@@ -365,6 +393,7 @@ def main() -> None:
             "register_fps_itr2": round(register_fps_itr2, 3),
             "stage_ms": {
                 "render_252": round(render_ms, 1),
+                "render_252_corner": round(render_corner_ms, 1),
                 "refiner_252": round(refiner_ms, 1),
                 "scorer_252": round(scorer_ms, 1),
             },

@@ -183,10 +183,17 @@ def subdivide_adaptive(
     tol: float = 0.05,
     max_rounds: int = 6,
     max_faces: int = 65_536,
+    patch_k: int = 0,
 ) -> tuple[MeshAsset, dict]:
-    """Content-aware subdivision: split only faces whose CORNER sampling
-    measurably deviates from per-pixel texturing (face_sampling_error > tol,
-    on a [0,1] color scale).
+    """Content-aware subdivision: split only faces whose sampling
+    measurably deviates from per-pixel texturing (error > tol on a [0,1]
+    color scale).
+
+    patch_k selects the error metric to match how the fused kernel will
+    texture the mesh: 0 = corner sampling (face_sampling_error), else the
+    per-face texel-patch blend (ops.render_fused.face_patch_error) -- with
+    patches most sharp-textured meshes need NO subdivision at all, so the
+    policy usually reduces to a cheap measurement.
 
     This is the automatic policy the pipeline applies when loading meshes
     (MeshConstants.from_asset auto_subdivide): a scanned mesh with a sharp
@@ -202,24 +209,59 @@ def subdivide_adaptive(
     faces = np.asarray(asset.faces, np.int64)
     f0 = faces.shape[0]
 
+    if patch_k:
+        from foundationpose_cpp_tpu.ops.render_fused import face_patch_error
+
+        def _err(u, f):
+            return face_patch_error(asset.texture, u, f, pk=patch_k)
+
+        def _split_mask(u, f, err):
+            # split-gain gate: only split faces a finer texture sampling
+            # would actually improve. Per-texel speckle noise keeps
+            # err > tol at ANY subdivision level (children are just as
+            # noisy), so a plain threshold ratchets every speckled mesh to
+            # max_faces for ~zero render-error gain (measured: 7.9k -> 32k
+            # faces for 0.031 -> 0.025). A pk*2 patch of the SAME face
+            # predicts the error after one split; requiring a 30%
+            # improvement admits coherent detail (checker cells: gain
+            # 0.6-0.75) and rejects noise.
+            fine = face_patch_error(asset.texture, u, f, pk=2 * patch_k)
+            gain = fine < 0.7 * err
+            # footprint clause: the one-level lookahead underestimates
+            # multi-round gains on faces spanning MANY texels (a 64-texel
+            # checker face needs 3 rounds of splits before pk doubling
+            # fully bites). A big face qualifies when doubled resolution
+            # would bring it UNDER tolerance -- true for coherent detail
+            # (checker cells), never for per-texel noise, whose error
+            # floor no resolution reaches.
+            th, tw = asset.texture.shape[:2]
+            big = _face_uv_texels(u, f, th, tw) > 4.0 * patch_k
+            return (err > tol) & (gain | (big & (fine <= tol)))
+    else:
+        def _err(u, f):
+            return face_sampling_error(asset.texture, u, f)
+
+        def _split_mask(u, f, err):
+            return err > tol
+
     rounds = 0
-    err = face_sampling_error(asset.texture, uvs, faces)
+    err = _err(uvs, faces)
     for _ in range(max_rounds):
-        split = err > tol
+        split = _split_mask(uvs, faces, err)
         if not split.any() or faces.shape[0] >= max_faces:
             break
-        # respect the face cap: split the worst offenders first
+        # respect the face cap: split the worst ELIGIBLE offenders first
         budget = (max_faces - faces.shape[0]) // 3
         if int(split.sum()) > budget:
-            order = np.argsort(-err)
-            keep = order[:budget]
+            elig = np.where(split)[0]
+            keep = elig[np.argsort(-err[elig])][:budget]
             split = np.zeros_like(split)
-            split[keep] = err[keep] > tol
+            split[keep] = True
         verts, normals, uvs, faces = _split_faces(
             verts, normals, uvs, faces, split
         )
         rounds += 1
-        err = face_sampling_error(asset.texture, uvs, faces)
+        err = _err(uvs, faces)
 
     info = {
         "faces_before": int(f0),
@@ -232,8 +274,9 @@ def subdivide_adaptive(
         return asset, info
     logger.info(
         "[subdivide_adaptive] mesh '%s': %d -> %d faces in %d round(s) "
-        "(corner-sampling error tol %.3f, residual %.3f)",
-        asset.name, f0, faces.shape[0], rounds, tol,
+        "(%s-sampling error tol %.3f, residual %.3f)",
+        asset.name, f0, faces.shape[0], rounds,
+        f"patch{patch_k}" if patch_k else "corner", tol,
         info["max_residual_error"],
     )
     return (

@@ -18,13 +18,19 @@ The fused design eliminates every per-pixel gather and every runtime sort:
   spatial sorting is off the table: XLA:TPU variadic sort compile time
   explodes with operand count -- a 34-operand lax.sort never finished
   compiling.)
-- texture is sampled at the three corner UVs offline ("vertex-sampled
-  texture"); the kernel interpolates corner colors barycentrically. For
-  meshes whose faces project to a few pixels (the normal case for scanned
-  objects) this matches per-pixel texturing to within the texel/face LOD;
-  pipelines that need texel-exact rendering use the unfused path
-  (ops.rasterize + texture_bilinear_wrap), which is bit-faithful to the
-  reference shader but gather-bound on TPU.
+- texturing never gathers. Two modes: (a) corner colors -- texture sampled
+  at the three corner UVs offline, blended barycentrically in-kernel; (b)
+  PER-FACE TEXEL PATCHES (patch_k > 0, the production default) -- each face
+  carries a pk x pk resample of its UV-bbox texture region
+  (face_texel_patches) and the kernel evaluates it at the pixel's
+  barycentric position with a hat-weight tensor product (= bilinear on the
+  patch grid). Patches reproduce the reference's per-pixel bilinear fetch
+  (texture.cu:131-179) to the patch's Nyquist: on a sharp-textured scan
+  mesh, render-level error vs the reference shader drops 0.054 -> 0.031
+  mean at the ORIGINAL face count, beating 2 rounds of subdivision
+  (0.037 at 4x the faces, 3.5x the render time). Pipelines that need
+  texel-exact rendering use the unfused path (ops.rasterize +
+  texture_bilinear_wrap), bit-faithful but gather-bound on TPU.
 - culling is a per-(view, tile) BITMASK over face chunks, built in XLA from
   chunk union bboxes (segment min/max, no gathers) and stored in SMEM: the
   CudaRaster bin/coarse stages collapse into `(word >> bit) & 1`.
@@ -66,7 +72,12 @@ QS = 256  # lanes per 16x16 quadrant (quadrant-major lane layout)
 # bitcast(z/w + 1.5); chunk size must be a power of two (the pos mask is
 # chunk-1), so depth is quantized by `chunk` ulps (~3e-5 at chunk=128)
 _BIG_I = 0x7F000000  # > any packed key (zw+1.5 in [0.5, 2.5]); fits int32
-_UNROLL_MAX = 64  # chunk loops fully unroll up to this many chunks
+# chunk loops fully unroll up to this many chunks. Beyond ~50 unrolled
+# chunk bodies the kernel's instruction stream hits a Mosaic cliff
+# (measured: a 52-chunk mesh 339 ms unrolled vs 170 ms as fori at finer
+# chunks; a 62-chunk unroll 231 ms vs 108 ms at 31 chunks), so the bound
+# stays safely below it.
+_UNROLL_MAX = 48
 
 
 def sample_texture_at_uv(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -111,6 +122,103 @@ def face_corner_colors(
 ) -> np.ndarray:
     """(F, 3, C) seam-robust texture colors at each face corner."""
     return vertex_colors_seam_robust(texture, uvs)[faces]
+
+
+def face_texel_patches(
+    texture: np.ndarray, uvs: np.ndarray, faces: np.ndarray, pk: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-face pk x pk texel patch over the face's UV bounding box.
+
+    The per-pixel texturing option of the fused kernel: instead of three
+    corner colors, each face carries a small resampled texture patch; the
+    kernel evaluates it at the pixel's barycentric position with a
+    tensor-product hat-weight blend (= bilinear on the patch grid). This is
+    the TPU-shaped analogue of the reference's per-pixel bilinear fetch
+    (texture.cu:131-179): the gather into the full texture becomes
+    arithmetic over values already extracted by phase 2's one-hot matmul.
+
+    Returns (patches (F, C, pk, pk) [channel, t(row), s(col)],
+    corner_st (F, 3, 2) patch coords of the three corners scaled to
+    [0, pk-1]). Samples are seam-robust like the corner path.
+    """
+    th, tw = texture.shape[:2]
+    fuv = np.asarray(uvs, np.float64)[faces]  # (F, 3, 2)
+    lo = fuv.min(axis=1)
+    hi = fuv.max(axis=1)
+    # floor the extent at one texel so degenerate-UV faces still sample a
+    # sane neighborhood (and the corner-coord division is well-defined)
+    ext = np.maximum(hi - lo, np.array([1.0 / tw, 1.0 / th]))
+    nf = faces.shape[0]
+    g = np.linspace(0.0, 1.0, pk)
+    us = lo[:, None, 0] + ext[:, None, 0] * g[None, :]  # (F, pk)
+    vs = lo[:, None, 1] + ext[:, None, 1] * g[None, :]
+    uu = np.broadcast_to(us[:, None, :], (nf, pk, pk))  # cols vary s (u)
+    vv = np.broadcast_to(vs[:, :, None], (nf, pk, pk))  # rows vary t (v)
+    pts = np.stack([uu, vv], axis=-1).reshape(-1, 2)
+    cols = vertex_colors_seam_robust(texture, pts).reshape(nf, pk, pk, -1)
+    st = ((fuv - lo[:, None, :]) / ext[:, None, :] * (pk - 1)).astype(
+        np.float32
+    )
+    return cols.transpose(0, 3, 1, 2).astype(np.float32), st
+
+
+def eval_texel_patches(
+    patches: np.ndarray, st: np.ndarray, bary: np.ndarray
+) -> np.ndarray:
+    """Numpy oracle for the kernel's patch blend.
+
+    patches (F, C, pk, pk), st (F, 3, 2), bary (P, 3) barycentric probe
+    weights -> (F, P, C) colors. Hat-weight tensor product == bilinear on
+    the patch grid; matches the in-kernel arithmetic exactly.
+    """
+    pk = patches.shape[-1]
+    s = np.einsum("pj,fj->fp", bary, st[:, :, 0])  # (F, P)
+    t = np.einsum("pj,fj->fp", bary, st[:, :, 1])
+    s = np.clip(s, 0.0, pk - 1.0)
+    t = np.clip(t, 0.0, pk - 1.0)
+    i = np.arange(pk, dtype=np.float64)
+    ws = np.maximum(0.0, 1.0 - np.abs(s[..., None] - i))  # (F, P, pk)
+    wt = np.maximum(0.0, 1.0 - np.abs(t[..., None] - i))
+    return np.einsum("fpi,fpj,fcij->fpc", wt, ws, patches)
+
+
+def face_patch_error(
+    texture: np.ndarray,
+    uvs: np.ndarray,
+    faces: np.ndarray,
+    pk: int = 4,
+    n_grid: int = 4,
+    reduce: str = "mean",
+) -> np.ndarray:
+    """(F,) color error of pk-patch sampling vs per-pixel texturing,
+    probed on a barycentric grid (the patch analogue of
+    subdivide.face_sampling_error).
+
+    reduce="mean" (default) is the EXPECTED error of a pixel landing
+    uniformly in the face -- the quantity that tracks render-level error.
+    "max" is the worst probe; on speckled textures (per-texel noise) the
+    max is irreducible under subdivision and wildly overstates the render
+    error (measured: scan mesh render error 0.031 mean while 40% of faces
+    have probe-max > 0.10)."""
+    patches, st = face_texel_patches(texture, uvs, faces, pk)
+    # interior barycentric probe grid
+    probes = []
+    for a in range(n_grid + 1):
+        for b in range(n_grid + 1 - a):
+            probes.append(
+                (a / n_grid, b / n_grid, (n_grid - a - b) / n_grid)
+            )
+    bary = np.asarray(probes)
+    approx = eval_texel_patches(patches, st, bary)  # (F, P, C)
+    fuv = np.asarray(uvs, np.float64)[faces]
+    uv_p = np.einsum("pj,fjc->fpc", bary, fuv).reshape(-1, 2)
+    exact = vertex_colors_seam_robust(texture, uv_p).reshape(
+        approx.shape
+    )
+    err = np.abs(approx - exact).max(axis=2)  # (F, P) worst channel
+    if reduce == "mean":
+        return err.mean(axis=1).astype(np.float32)
+    return err.max(axis=1).astype(np.float32)
 
 
 def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
@@ -167,8 +275,8 @@ def signed_volume(verts: np.ndarray, faces: np.ndarray) -> float:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["face_verts", "face_normals", "face_colors"],
-    meta_fields=["num_faces", "diameter", "backface_cull_ok"],
+    data_fields=["face_verts", "face_normals", "face_colors", "face_patch"],
+    meta_fields=["num_faces", "diameter", "backface_cull_ok", "patch_k"],
 )
 @dataclasses.dataclass(frozen=True)
 class FusedMeshTables:
@@ -180,6 +288,13 @@ class FusedMeshTables:
     double-sided (foundationpose_render.cu:201 setRenderModeFlags(0)), so
     culling is only an optimization where it provably cannot change the
     image -- the kernel skips ~half the faces of a closed mesh.
+
+    patch_k > 0 enables PER-PIXEL texturing via per-face texel patches
+    (face_texel_patches): face_patch holds a component-major
+    (6 + 3*pk^2 [+ row pad], F) table of corner patch-coords + pk x pk
+    texels; the kernel blends it at each pixel's barycentric position
+    instead of interpolating the three corner colors. face_colors stays
+    populated either way (trainers and oracles use it).
     """
 
     face_verts: jnp.ndarray  # (F, 3, 3) centered corner positions
@@ -188,12 +303,15 @@ class FusedMeshTables:
     num_faces: int
     diameter: float
     backface_cull_ok: bool = False
+    face_patch: jnp.ndarray | None = None  # (6 + 3*pk^2 + pad, F)
+    patch_k: int = 0
 
     @staticmethod
     def from_asset(
         asset: MeshAsset,
         face_pad: int | None = None,
         as_numpy: bool = False,
+        texture_patch_k: int = 0,
     ) -> "FusedMeshTables":
         """face_pad: pad the tables to a multiple of this with all-zero
         (degenerate -> prepass-culled) faces, so meshes with different face
@@ -202,7 +320,10 @@ class FusedMeshTables:
         as_numpy keeps the tables host-side (numpy) -- used by bulk builders
         (training/multi.build_mesh_bank) that restack many meshes before one
         device transfer; dozens of small H2D dispatches are pathologically
-        slow over a high-latency device tunnel."""
+        slow over a high-latency device tunnel.
+
+        texture_patch_k: per-face texel patch edge (0 = corner sampling);
+        4 is the production setting (see face_texel_patches)."""
         centered = asset.vertices - asset.model_center[None, :]
         faces0 = np.asarray(asset.faces)
         cull_ok = winding_consistent_closed(centered, faces0)
@@ -214,15 +335,37 @@ class FusedMeshTables:
         fv = centered[faces]
         fn = asset.vertex_normals[faces]
         fc = face_corner_colors(asset.texture, asset.texcoords, faces)
+        patch_rows = None
+        pk = int(texture_patch_k)
+        if pk:
+            patches, st = face_texel_patches(
+                asset.texture, asset.texcoords, faces, pk=pk
+            )
+            # component-major rows: [s0 t0 s1 t1 s2 t2 | texels c-major]
+            nf = faces.shape[0]
+            patch_rows = np.concatenate(
+                [st.reshape(nf, 6), patches.reshape(nf, 3 * pk * pk)],
+                axis=1,
+            ).T  # (6 + 3*pk^2, F)
+            rpad = (-patch_rows.shape[0]) % 8  # sublane alignment
+            if rpad:
+                patch_rows = np.concatenate(
+                    [patch_rows,
+                     np.zeros((rpad, nf), patch_rows.dtype)], axis=0
+                )
         if face_pad is not None:
             pad = (-fv.shape[0]) % face_pad
 
-            def _pad(a):
-                return np.concatenate(
-                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
-                ) if pad else a
+            def _pad(a, axis=0):
+                if not pad:
+                    return a
+                width = [(0, 0)] * a.ndim
+                width[axis] = (0, pad)
+                return np.pad(a, width)
 
             fv, fn, fc = _pad(fv), _pad(fn), _pad(fc)
+            if patch_rows is not None:
+                patch_rows = _pad(patch_rows, axis=1)
         conv = (lambda a: np.asarray(a, np.float32)) if as_numpy else (
             lambda a: jnp.asarray(a, jnp.float32)
         )
@@ -233,6 +376,8 @@ class FusedMeshTables:
             num_faces=int(fv.shape[0]),
             diameter=float(asset.diameter),
             backface_cull_ok=cull_ok,
+            face_patch=None if patch_rows is None else conv(patch_rows),
+            patch_k=pk,
         )
 
 
@@ -242,14 +387,12 @@ class FusedMeshTables:
 
 def _fused_kernel(
     coeff_ref,  # (1, F_pad, 16) VMEM: [a0(3) a1(3) a2(3) zwplane(3) pad]
-    attr_ref,  # (1, 24, F_pad) VMEM: corners x [r g b x y z d pad]
+    attr_ref,  # (1, 24|16, F_pad) VMEM: corners x [r g b x y z d pad]
+    #            (patch mode: corners x [x y z d], colors ride patch_ref)
     bits_ref,  # (1, n_tiles, W32) SMEM i32: chunk-overlap bitmask per tile
     cbb_ref,  # (1, n_chunks, 4) SMEM f32: chunk bboxes [y0 y1 x0 x1]
     trans_ref,  # (1, 1, 8) SMEM: [tx ty tz 0 0 0 0 0]
-    out_ref,  # (1, 1, 1, 8, LANES) VMEM
-    state_f_ref,  # (16, LANES) f32 VMEM scratch
-    state_i_ref,  # (8, LANES) i32 VMEM scratch
-    *,
+    *rest,  # [patch_ref (rows_p, F_pad) VMEM when patch_k] out, scratches
     n_chunks,
     chunk,
     img_h,
@@ -262,10 +405,17 @@ def _fused_kernel(
     inv_downscale,
     debug_phase1_only=False,
     quadrant_split=True,
+    patch_k=0,
+    p2_window=None,
 ):
     """All control flow is STATIC fori + @pl.when (see module docstring);
     pixel state lives in VMEM scratch because predicated bodies cannot carry
     loop values."""
+    if patch_k:
+        patch_ref, out_ref, state_f_ref, state_i_ref = rest
+    else:
+        patch_ref = None
+        out_ref, state_f_ref, state_i_ref = rest
     ty = pl.program_id(1)
     tx = pl.program_id(2)
 
@@ -440,9 +590,14 @@ def _fused_kernel(
     smax = jnp.max(jnp.stack(smax_q))
 
     # one-hot iota, hoisted out of the loop (constant); per visit the
-    # compare is against the CHUNK-RELATIVE winner index so no (chunk,
-    # span) add is spent shifting the iota
-    pos_lanes = jax.lax.broadcasted_iota(jnp.int32, (chunk, span), 0)
+    # compare is against the WINDOW-RELATIVE winner index so no (p2w,
+    # span) add is spent shifting the iota. Phase 2 visits sub-windows of
+    # p2w <= chunk faces: the extraction dot's cost is rows x window, and
+    # winners inside one tile are Morton-local (typically spanning far
+    # fewer than 128 positions), so narrower windows skip dead table
+    # columns that phase 1's coarser chunks must keep for culling economy.
+    p2w = p2_window or chunk
+    pos_lanes = jax.lax.broadcasted_iota(jnp.int32, (p2w, span), 0)
 
     def attr_resolve(table, lo, qs):
         """Blend the winner's attributes into span lanes [qs, qs+span)."""
@@ -453,7 +608,7 @@ def _fused_kernel(
             table, mf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (33, span): winner's scalars per pixel (0 where no winner)
+        )  # (33|75, span): winner's scalars per pixel (0 where no winner)
 
         fx_q = fx[:, qs : qs + span]
         fy_q = fy[:, qs : qs + span]
@@ -469,42 +624,106 @@ def _fused_kernel(
         b2 = 1.0 - b0 - b1
 
         hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
-        rows = [
-            b0 * ext[9 + c : 10 + c]
-            + b1 * ext[17 + c : 18 + c]
-            + b2 * ext[25 + c : 26 + c]
-            for c in range(7)  # r g b x y z d
-        ]
+        if not patch_k:
+            rows = [
+                b0 * ext[9 + c : 10 + c]
+                + b1 * ext[17 + c : 18 + c]
+                + b2 * ext[25 + c : 26 + c]
+                for c in range(7)  # r g b x y z d
+            ]
+        else:
+            # corner-major [x y z d] attr rows, then the patch table:
+            # 6 corner patch-coords + pk*pk texels per channel. Color is
+            # the hat-weight tensor-product blend of the winner's patch at
+            # the pixel's (s, t) -- bilinear on the patch grid, i.e. the
+            # reference's per-pixel texture fetch with the gather replaced
+            # by arithmetic on phase-2-extracted values.
+            pk = patch_k
+            xyzd = [
+                b0 * ext[9 + c : 10 + c]
+                + b1 * ext[13 + c : 14 + c]
+                + b2 * ext[17 + c : 18 + c]
+                for c in range(4)
+            ]
+            sb = 21  # 9 edge + 12 attr rows
+            s = (
+                b0 * ext[sb : sb + 1]
+                + b1 * ext[sb + 2 : sb + 3]
+                + b2 * ext[sb + 4 : sb + 5]
+            )
+            t = (
+                b0 * ext[sb + 1 : sb + 2]
+                + b1 * ext[sb + 3 : sb + 4]
+                + b2 * ext[sb + 5 : sb + 6]
+            )
+            s = jnp.clip(s, 0.0, pk - 1.0)
+            t = jnp.clip(t, 0.0, pk - 1.0)
+            wu = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(s - float(j)))
+                for j in range(pk)
+            ]
+            wv = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(t - float(i)))
+                for i in range(pk)
+            ]
+            tex0 = sb + 6
+            rgb = []
+            for c in range(3):
+                acc = None
+                for i in range(pk):
+                    r0 = tex0 + c * pk * pk + i * pk
+                    inner = None
+                    for j in range(pk):
+                        term = wu[j] * ext[r0 + j : r0 + j + 1]
+                        inner = term if inner is None else inner + term
+                    term = wv[i] * inner
+                    acc = term if acc is None else acc + term
+                rgb.append(acc)
+            rows = rgb + xyzd
         prev = state_f_ref[1:9, qs : qs + span]
         update = jnp.concatenate(
             rows + [jnp.ones((1, span), jnp.float32)], axis=0
         )
         state_f_ref[1:9, qs : qs + span] = prev + update * hit
 
+    def attr_window(slo):
+        # Everything a pixel needs from its winner is a PER-FACE scalar:
+        # 9 edge coefficients + corner attributes (+ the texel patch in
+        # patch mode). One one-hot matmul on the MXU extracts all of them
+        # at once -- the previous formulation did ~25 separate masked
+        # vector reduces per subchunk and dominated the kernel (226 of
+        # 356 ms measured).
+        # only the 9 edge rows are needed (z/w plane + pad rows of the
+        # coeff table are phase-1-only), so the extraction dot is
+        # (33, p2w) not (40, p2w); patch mode appends the patch rows for
+        # (21 + 6 + 3*pk^2, p2w)
+        cf = coeff_ref[0, pl.ds(slo, p2w), 0:9].T  # (9, p2w)
+        at = attr_ref[0, :, pl.ds(slo, p2w)]  # (24|16, p2w)
+        if patch_k:
+            at = at[0:12]  # [x y z d] x 3 corners (pad rows dropped)
+            pt = patch_ref[:, pl.ds(slo, p2w)]
+            pt = pt[0 : 6 + 3 * patch_k * patch_k]
+            # ONE f32 extraction dot for everything. A split variant
+            # (27-row f32 dot + separate bf16 texel dot) was measured
+            # SLOWER both with a per-visit cast (95 vs 89 ms) and with
+            # a bf16-stored table (95/175 vs 89/172) -- the second
+            # dot's fixed cost exceeds the MXU-rate saving.
+            table = jnp.concatenate([cf, at, pt], axis=0)  # (75, p2w)
+        else:
+            table = jnp.concatenate([cf, at], axis=0)  # (33, p2w)
+        attr_resolve(table, slo, 0)
+
     def attr_body(ci, carry):
         lo = ci * chunk
+        for sub in range(chunk // p2w):
+            slo = lo + sub * p2w
 
-        @pl.when(
-            jnp.logical_not(debug_phase1_only)
-            & (smin < lo + chunk) & (smax >= lo)
-        )
-        def _():
-            # Everything a pixel needs from its winner is a PER-FACE scalar:
-            # 9 edge coefficients + 3 z/w plane coefficients + 21 corner
-            # attributes. One one-hot matmul on the MXU extracts all of them
-            # at once -- the previous formulation did ~25 separate masked
-            # vector reduces per subchunk and dominated the kernel (226 of
-            # 356 ms measured).
-            # phase 2 runs on the few chunks containing winners, so the
-            # coeff slice transpose (face-major table -> component rows)
-            # is paid ~2x per tile, not per phase-1 visit
-            # only the 9 edge rows are needed (z/w plane + pad rows of the
-            # coeff table are phase-1-only), so the extraction dot is
-            # (33, chunk) not (40, chunk)
-            cf = coeff_ref[0, pl.ds(lo, chunk), 0:9].T  # (9, chunk)
-            at = attr_ref[0, :, pl.ds(lo, chunk)]  # (24, chunk)
-            table = jnp.concatenate([cf, at], axis=0)  # (33, chunk)
-            attr_resolve(table, lo, 0)
+            @pl.when(
+                jnp.logical_not(debug_phase1_only)
+                & (smin < slo + p2w) & (smax >= slo)
+            )
+            def _(slo=slo):
+                attr_window(slo)
 
         return carry
 
@@ -547,7 +766,7 @@ def _fused_kernel(
     static_argnames=(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
-        "quadrant_split",
+        "quadrant_split", "p2_window",
     ),
 )
 def render_views_fused(
@@ -565,6 +784,7 @@ def render_views_fused(
     debug_phase1_only: bool = False,
     cull_backfaces: bool = True,
     quadrant_split: bool = True,
+    p2_window: int | None = None,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -739,17 +959,30 @@ def render_views_fused(
     zeros = jnp.zeros((n, f_pad), jnp.float32)
     coeff_planes += [zeros] * 4  # pad to 16
 
+    patch_k = int(tables.patch_k)
     colors = tables.face_colors  # (F, 3, 3) pose-independent
     attr_planes = []
-    for k in range(3):  # corner-major: r g b x y z d pad
-        for q in range(3):
-            attr_planes.append(
-                padf(jnp.broadcast_to(colors[None, :, k, q], (n, f)))
-            )
-        for q in range(3):
-            attr_planes.append(padf(attr_xyz[k][q]))
-        attr_planes.append(padf(diffuse_k[k]))
-        attr_planes.append(zeros)
+    if patch_k:
+        # colors ride the pose-independent patch table (ONE copy, not
+        # broadcast per view); the per-view attr table shrinks to
+        # corner-major [x y z d] x 3 + 4 pad rows = 16 -- a third less HBM
+        # traffic than the 24-row corner-color layout
+        for k in range(3):
+            for q in range(3):
+                attr_planes.append(padf(attr_xyz[k][q]))
+            attr_planes.append(padf(diffuse_k[k]))
+        attr_planes += [zeros] * 4
+    else:
+        for k in range(3):  # corner-major: r g b x y z d pad
+            for q in range(3):
+                attr_planes.append(
+                    padf(jnp.broadcast_to(colors[None, :, k, q], (n, f)))
+                )
+            for q in range(3):
+                attr_planes.append(padf(attr_xyz[k][q]))
+            attr_planes.append(padf(diffuse_k[k]))
+            attr_planes.append(zeros)
+    attr_rows = len(attr_planes)
 
     # chunk union bboxes -> per-(view, tile) overlap bitmask
     cx0 = jnp.min(padf(x0, jnp.inf).reshape(n, n_chunks, chunk), axis=2)
@@ -781,6 +1014,13 @@ def render_views_fused(
 
     trans = jnp.pad(poses[:, :3, 3], ((0, 0), (0, 5))).reshape(n, 1, 8)
 
+    patch_tab = None
+    if patch_k:
+        patch_tab = tables.face_patch
+        if pad_f:
+            patch_tab = jnp.pad(patch_tab, ((0, 0), (0, pad_f)))
+    patch_rows_p = 0 if patch_tab is None else patch_tab.shape[0]
+
     kernel = functools.partial(
         _fused_kernel,
         n_chunks=n_chunks,
@@ -795,6 +1035,8 @@ def render_views_fused(
         inv_downscale=2.0 / tables.diameter,
         debug_phase1_only=debug_phase1_only,
         quadrant_split=quadrant_split,
+        patch_k=patch_k,
+        p2_window=p2_window,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)
@@ -811,22 +1053,31 @@ def render_views_fused(
         # COMPONENT-MAJOR (face axis on lanes, zero padding; phase 2
         # contracts the face axis directly)
         coeffs_packed = coeff_g.transpose(1, 2, 0)  # (G, F_pad, 16)
-        attrs_packed = attr_g.transpose(1, 0, 2)  # (G, 24, F_pad)
+        attrs_packed = attr_g.transpose(1, 0, 2)  # (G, attr_rows, F_pad)
+        in_specs = [
+            pl.BlockSpec((1, f_pad, 16), lambda i, t, u: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, attr_rows, f_pad), lambda i, t, u: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, w32), lambda i, t, u: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_chunks, 4), lambda i, t, u: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda i, t, u: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        operands = [coeffs_packed, attrs_packed, bits_g, cbb_g, trans_g]
+        if patch_k:
+            # pose-independent: one copy, same block for every grid step
+            in_specs.append(
+                pl.BlockSpec((patch_rows_p, f_pad), lambda i, t, u: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(patch_tab)
         return pl.pallas_call(
             kernel,
             grid=(g, n_ty, n_tx),
-            in_specs=[
-                pl.BlockSpec((1, f_pad, 16), lambda i, t, u: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 24, f_pad), lambda i, t, u: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_tiles, w32), lambda i, t, u: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n_chunks, 4), lambda i, t, u: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 8), lambda i, t, u: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, 1, 8, LANES), lambda i, t, u: (i, t, u, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -839,7 +1090,7 @@ def render_views_fused(
                 pltpu.VMEM((8, LANES), jnp.int32),
             ],
             interpret=interpret,
-        )(coeffs_packed, attrs_packed, bits_g, cbb_g, trans_g)
+        )(*operands)
 
     # view-group size: bound the packed-table HBM footprint (lane-padded
     # face-major coeffs + component-major attrs per view), then shrink the
@@ -850,13 +1101,19 @@ def render_views_fused(
     # (f_pad*(16+24)*4*2 bytes) and XLA may place the call's whole
     # (g, TY, TX, 8, LANES) result in VMEM, which scales with g -- a 32k-face
     # mesh (the subdivision policy cap) OOMs at g=10 but runs at g<=2.
-    table_bytes = f_pad * (16 + 24) * 4 * 2
+    table_bytes = f_pad * (16 + attr_rows) * 4 * 2
+    if patch_k:  # constant block, but budget a double-buffered copy
+        table_bytes += patch_rows_p * f_pad * 4 * 2
     out_bytes_per_view = n_ty * n_tx * 8 * LANES * 4
     vmem_budget = 11 * 1024 * 1024
     group_vmem = max(1, (vmem_budget - table_bytes) // out_bytes_per_view)
     group_max = max(
         1,
-        min(n, (192 * 1024 * 1024) // (f_pad * (128 + 24) * 4), group_vmem),
+        min(
+            n,
+            (192 * 1024 * 1024) // (f_pad * (128 + attr_rows) * 4),
+            group_vmem,
+        ),
     )
     n_groups_min = -(-n // group_max)
     group = -(-n // n_groups_min)
@@ -867,13 +1124,13 @@ def render_views_fused(
         return jnp.pad(p, ((0, pad_n),) + ((0, 0),) * (p.ndim - 1)) if pad_n else p
 
     coeff_stack = jnp.stack([padn(p) for p in coeff_planes])  # (16, Np, F_pad)
-    attr_stack = jnp.stack([padn(p) for p in attr_planes])  # (24, Np, F_pad)
+    attr_stack = jnp.stack([padn(p) for p in attr_planes])  # (attr_rows, Np, F_pad)
     n_groups = n_pad // group
     out = jax.lax.map(
         run_group,
         (
             coeff_stack.reshape(16, n_groups, group, f_pad).transpose(1, 0, 2, 3),
-            attr_stack.reshape(24, n_groups, group, f_pad).transpose(1, 0, 2, 3),
+            attr_stack.reshape(attr_rows, n_groups, group, f_pad).transpose(1, 0, 2, 3),
             padn(bits).reshape(n_groups, group, n_tiles, w32),
             padn(cbb).reshape(n_groups, group, n_chunks, 4),
             padn(trans).reshape(n_groups, group, 1, 8),
