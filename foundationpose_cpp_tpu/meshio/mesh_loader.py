@@ -82,12 +82,15 @@ def mesh_diameter(vertices: np.ndarray) -> float:
         hull_pts = pts
     # Blockwise exact pairwise max via scipy's C cdist. (A (H,3)@(3,H) GEMM
     # formulation is pathologically slow in OpenBLAS for tiny-k shapes --
-    # measured 47 s vs 0.5 s for H~10k on a noisy scan hull.)
+    # measured 47 s vs 0.5 s for H~10k on a noisy scan hull.) Blocks stay
+    # small: a noisy 105k-vert scan has an ~18k-point hull, and 2048-row
+    # blocks (280 MB f64 temporaries each) thrashed the allocator for 30 s
+    # where 512-row blocks take 1.7 s.
     from scipy.spatial.distance import cdist
 
     d = 0.0
-    for i in range(0, hull_pts.shape[0], 2048):
-        d = max(d, float(cdist(hull_pts[i : i + 2048], hull_pts).max()))
+    for i in range(0, hull_pts.shape[0], 512):
+        d = max(d, float(cdist(hull_pts[i : i + 512], hull_pts).max()))
     return float(d)
 
 
@@ -121,9 +124,15 @@ def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarra
     v = np.asarray(vertices, dtype=np.float64)
     f = np.asarray(faces, dtype=np.int64)
     fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
-    normals = np.zeros_like(v)
-    for k in range(3):
-        np.add.at(normals, f[:, k], fn)
+    # bincount accumulation: ~100x np.add.at at scan-mesh scale
+    idx = f.ravel()
+    normals = np.stack(
+        [
+            np.bincount(idx, weights=np.repeat(fn[:, c], 3), minlength=len(v))
+            for c in range(3)
+        ],
+        axis=-1,
+    )
     norms = np.linalg.norm(normals, axis=1, keepdims=True)
     normals = np.where(norms > 1e-20, normals / np.maximum(norms, 1e-20), 0.0)
     return normals.astype(np.float32)
