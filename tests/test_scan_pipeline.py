@@ -1,0 +1,125 @@
+"""Scan-scale end-to-end accuracy: the BundleSDF config's mesh chain.
+
+VERDICT r2 #3: the reference's scanned-mesh workflow
+(docs/gen_3d_obj_with_bundlesdf.md) reconstructs a dense noisy mesh with a
+baked camera texture and runs Register/Track on it. This pins the whole
+in-repo chain on CPU:
+
+    105k-face speckled scan stand-in (procedural.scanned_blob)
+      -> vertex-clustering decimation (meshio/decimate.py)
+      -> gain-gated adaptive subdivision, patch metric (meshio/subdivide.py)
+      -> per-face texel-patch fused tables (ops/render_fused.py)
+      -> refine + score with the committed OBJECT-GENERALIZABLE weights
+         (weights/*_multi_full.npz) on an object family the trainer
+         never saw.
+
+Accuracy rides the per-hypothesis primitives (track_step refinement from a
+perturbed pose; scorer ranking of the true pose against a symmetry flip)
+rather than the full 252-hypothesis Register -- the 252-grid path at scan
+face counts costs tens of CPU-minutes and is already pinned at family
+scale by test_multi_weights; the TPU render timing for this exact chain is
+bench.py's `scan` details.
+"""
+
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from foundationpose_cpp_tpu.config import FoundationPoseConfig
+from foundationpose_cpp_tpu.meshio import procedural
+from foundationpose_cpp_tpu.meshio.decimate import decimate_vertex_clustering
+from foundationpose_cpp_tpu.meshio.subdivide import subdivide_adaptive
+from foundationpose_cpp_tpu.models import checkpoint, networks
+from foundationpose_cpp_tpu.pipeline.foundationpose import track_step
+from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+from foundationpose_cpp_tpu.training import synthetic as tr
+from foundationpose_cpp_tpu.utils import metrics
+
+_WDIR = pathlib.Path(__file__).resolve().parent.parent / "weights"
+_RPATH = _WDIR / "refiner_multi_full.npz"
+_SPATH = _WDIR / "scorer_multi_full.npz"
+
+pytestmark = pytest.mark.skipif(
+    not (_RPATH.exists() and _SPATH.exists()),
+    reason="multi-object weights not present (run tools/train_multi.py)",
+)
+
+CFG = FoundationPoseConfig()
+NET = networks.NetConfig()
+TCFG = tr.SyntheticTrainConfig()
+
+
+def _scan_mesh():
+    scan_raw = procedural.scanned_blob(seed=11, radius=0.048)
+    assert scan_raw.num_faces > 100_000
+    scan_dec = decimate_vertex_clustering(scan_raw, target_faces=1_500)
+    scan_asset, info = subdivide_adaptive(
+        scan_dec, max_faces=16_384, patch_k=4
+    )
+    # the gain gate must keep the speckled scan well under the cap (a
+    # plain threshold ratchets it straight to max_faces)
+    assert scan_asset.num_faces < 12_000, info
+    mesh = MeshConstants.from_asset(scan_asset)
+    assert mesh.fused.patch_k == 4  # "auto" must pick patches here
+    return mesh
+
+
+def test_scan_mesh_refine_and_score_accuracy():
+    mesh = _scan_mesh()
+    params_r = checkpoint.load_params(str(_RPATH))
+    params_s = checkpoint.load_params(str(_SPATH))
+    Kj = jnp.asarray(tr.default_intrinsics(TCFG))
+    root = jax.random.PRNGKey(7)
+
+    rots = []
+    ranks_ok = 0
+    n_scenes = 2
+    for i in range(n_scenes):
+        gt = np.asarray(
+            tr.sample_scene_poses(jax.random.fold_in(root, i), 1, TCFG)
+        )[0]
+        rgb, depth = tr.render_observed(
+            mesh, jnp.asarray(gt[None]), Kj, TCFG.frame_hw, TCFG.frame_hw,
+            CFG,
+        )
+
+        # refinement: a 15-degree / 8 mm perturbed hypothesis must converge
+        # to the true pose in two refine iterations
+        d_rot = Rotation.from_rotvec(
+            np.array([0.15, -0.12, 0.10]) * (1 if i % 2 == 0 else -1)
+        ).as_matrix()
+        hyp = gt.copy()
+        hyp[:3, :3] = d_rot @ hyp[:3, :3]
+        hyp[:3, 3] += np.array([0.004, -0.004, 0.006])
+        out = track_step(
+            mesh, params_r, rgb[0], depth[0], jnp.asarray(hyp[None]), Kj,
+            2, CFG, NET,
+        )
+        rot = metrics.rotation_error_deg(np.asarray(out)[0], gt)
+        rots.append(rot)
+
+        # scoring: the true pose must beat a 180-degree symmetry flip
+        flip = gt.copy()
+        flip[:3, :3] = flip[:3, :3] @ Rotation.from_euler(
+            "z", 180, degrees=True
+        ).as_matrix()
+        from foundationpose_cpp_tpu.pipeline.foundationpose import (
+            refine_and_score,
+        )
+        from foundationpose_cpp_tpu.ops import depth as depth_ops
+
+        xyz_map = depth_ops.depth_to_xyz(depth[0], Kj, CFG.min_depth)
+        _, scores = refine_and_score(
+            mesh, params_r, params_s,
+            jnp.asarray(np.stack([gt, flip]), jnp.float32),
+            rgb[0], xyz_map, Kj, 1, CFG, NET, None, False,
+        )
+        scores = np.asarray(scores)
+        ranks_ok += int(scores[0] > scores[1])
+
+    assert float(np.mean(rots)) < 5.0, rots
+    assert ranks_ok == n_scenes, "true pose must outscore the symmetry flip"
