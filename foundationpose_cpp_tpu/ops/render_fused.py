@@ -407,6 +407,7 @@ def _fused_kernel(
     quadrant_split=True,
     patch_k=0,
     p2_window=None,
+    p1_group=1,
 ):
     """All control flow is STATIC fori + @pl.when (see module docstring);
     pixel state lives in VMEM scratch because predicated bodies cannot carry
@@ -545,8 +546,23 @@ def _fused_kernel(
     # meshes have only ~24 chunks (empty-scene floor measured 17.6 ms of a
     # 47.6 ms phase 1); large meshes fall back to fori to bound compile time
     if n_chunks <= _UNROLL_MAX:
-        for _ci in range(n_chunks):
-            depth_body(_ci, 0)
+        if p1_group > 1:
+            # superchunk gate: one scalar bitmask test skips a whole group
+            # of dead chunk bodies (their bits share a 32-bit word as long
+            # as the group is aligned and <= 32 wide)
+            assert 32 % p1_group == 0
+            for g0 in range(0, n_chunks, p1_group):
+                gsz = min(p1_group, n_chunks - g0)
+                gmask = ((1 << gsz) - 1) << (g0 % 32)
+                gword = bits_ref[0, t_lin, g0 // 32]
+
+                @pl.when((gword & gmask) != 0)
+                def _(g0=g0, gsz=gsz):
+                    for _ci in range(g0, g0 + gsz):
+                        depth_body(_ci, 0)
+        else:
+            for _ci in range(n_chunks):
+                depth_body(_ci, 0)
     else:
         jax.lax.fori_loop(0, n_chunks, depth_body, 0)
     packed_key = state_i_ref[0:1]
@@ -766,7 +782,7 @@ def _fused_kernel(
     static_argnames=(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
-        "quadrant_split", "p2_window",
+        "quadrant_split", "p2_window", "debug_prepass_only", "p1_group",
     ),
 )
 def render_views_fused(
@@ -785,6 +801,8 @@ def render_views_fused(
     cull_backfaces: bool = True,
     quadrant_split: bool = True,
     p2_window: int | None = None,
+    debug_prepass_only: bool = False,
+    p1_group: int = 1,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -1037,6 +1055,7 @@ def render_views_fused(
         quadrant_split=quadrant_split,
         patch_k=patch_k,
         p2_window=p2_window,
+        p1_group=p1_group,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)
@@ -1125,6 +1144,15 @@ def render_views_fused(
 
     coeff_stack = jnp.stack([padn(p) for p in coeff_planes])  # (16, Np, F_pad)
     attr_stack = jnp.stack([padn(p) for p in attr_planes])  # (attr_rows, Np, F_pad)
+    if debug_prepass_only:
+        # timing knob: force the prepass products (planes, bitmask, stacks)
+        # but skip the kernel + untile, so bench_fused can subtract the
+        # XLA-side budget from the full render
+        probe = (
+            coeff_stack.sum() + attr_stack.sum()
+            + bits.sum().astype(jnp.float32) + cbb.sum()
+        )
+        return jnp.zeros((n, img_h, img_w, 6), jnp.float32) + probe * 1e-30
     n_groups = n_pad // group
     out = jax.lax.map(
         run_group,

@@ -86,7 +86,7 @@ def test_convert_tool_init_mode(tmp_path):
     res = subprocess.run(
         [sys.executable, "tools/convert_onnx.py", "--init", "refiner",
          "--out", str(out)],
-        capture_output=True, text=True,
+        capture_output=True, text=True, timeout=600,
     )
     assert res.returncode == 0, res.stderr
     loaded = checkpoint.load_params(str(out))
@@ -97,7 +97,7 @@ def test_convert_tool_onnx_gated(tmp_path):
     res = subprocess.run(
         [sys.executable, "tools/convert_onnx.py", "--onnx", "missing.onnx",
          "--out", str(tmp_path / "x.npz")],
-        capture_output=True, text=True,
+        capture_output=True, text=True, timeout=600,
     )
     assert res.returncode != 0
     assert "onnx" in (res.stderr + res.stdout)

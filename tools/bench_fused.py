@@ -29,7 +29,12 @@ def main() -> None:
     ap.add_argument("--lat", type=int, default=48)
     ap.add_argument("--lon", type=int, default=64)
     ap.add_argument("--phase1-only", action="store_true")
+    ap.add_argument("--prepass-only", action="store_true")
+    ap.add_argument("--patch-k", type=int, default=0,
+                    help="per-face texel patch edge (0 = corner colors)")
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--p1-group", type=int, default=1,
+                    help="superchunk gate width for phase 1 (1 = off)")
     ap.add_argument("--no-quadrant-split", action="store_true")
     ap.add_argument("--tz", type=float, default=0.6,
                     help="object distance; large values cull ~everything, "
@@ -52,7 +57,9 @@ def main() -> None:
     sphere = procedural.textured_uv_sphere(
         radius=0.05, n_lat=args.lat, n_lon=args.lon
     )
-    tables = render_fused.FusedMeshTables.from_asset(sphere)
+    tables = render_fused.FusedMeshTables.from_asset(
+        sphere, texture_patch_k=args.patch_k
+    )
     print(f"mesh: {tables.num_faces} faces, cull_ok={tables.backface_cull_ok}")
 
     gt = synthetic.default_pose(tz=args.tz)
@@ -76,6 +83,8 @@ def main() -> None:
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
             debug_phase1_only=args.phase1_only, chunk=args.chunk,
             quadrant_split=not args.no_quadrant_split,
+            debug_prepass_only=args.prepass_only,
+            p1_group=args.p1_group,
         )
 
     @jax.jit

@@ -31,6 +31,14 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# weight conversion is host-side work: force the CPU backend BEFORE any jax
+# import so the tool never dials a device tunnel (the axon TPU plugin ignores
+# the JAX_PLATFORMS env var and can hang client creation when the remote pool
+# is unavailable -- config.update is the only reliable override)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)

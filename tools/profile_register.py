@@ -150,6 +150,18 @@ def main() -> None:
 
     timed("fused prepass+phase1", scan_over(fused_p1), poses_stack)
 
+    def fused_pre(poses_t):
+        tfs = transforms.compute_crop_window_tf(
+            poses_t, Kj, (ch, cw), cfg.refine_crop_ratio, mesh.diameter)
+        bbox = transforms.construct_bbox2d(tfs, ch, cw)
+        clipm = transforms.pose_clip_matrix(poses_t, bbox, Kj, h, w, cfg.znear, cfg.zfar)
+        out = render_views_fused(mesh.fused, poses_t, clipm, ch, cw,
+                                 min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+                                 debug_prepass_only=True)
+        return out.sum().astype(jnp.float32)
+
+    timed("fused prepass only", scan_over(fused_pre), poses_stack)
+
     def warps_only(poses_t):
         tfs = transforms.compute_crop_window_tf(
             poses_t, Kj, (ch, cw), cfg.refine_crop_ratio, mesh.diameter)

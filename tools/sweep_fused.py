@@ -1,0 +1,127 @@
+"""One-process sweep of fused-kernel variants (perf experiment harness).
+
+Runs render_views_fused at production scale (252 views, 160x160 crops,
+6016-face sphere) across a list of kernel variants in ONE process -- one
+tunnel connection, one persistent-compile-cache session -- and appends each
+result to a JSONL log as it lands, so a background run reports progress
+live.
+
+Usage: python -u tools/sweep_fused.py [--iters 16] [--out /tmp/sweep.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--n", type=int, default=252)
+    ap.add_argument("--out", default="/tmp/sweep_fused.jsonl")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_cpp_tpu import FoundationPoseConfig
+    from foundationpose_cpp_tpu.geometry import icosphere, transforms
+    from foundationpose_cpp_tpu.meshio import procedural
+    from foundationpose_cpp_tpu.ops import render_fused
+    from foundationpose_cpp_tpu.utils import synthetic
+    from foundationpose_cpp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = FoundationPoseConfig()
+    n = args.n
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]], np.float32)
+    Kj = jnp.asarray(K)
+    sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=48, n_lon=64)
+    tbl_corner = render_fused.FusedMeshTables.from_asset(sphere)
+    tbl_patch = render_fused.FusedMeshTables.from_asset(
+        sphere, texture_patch_k=4
+    )
+    print(f"mesh: {tbl_corner.num_faces} faces", flush=True)
+
+    gt = synthetic.default_pose(tz=0.6)
+    rot_grid = jnp.asarray(icosphere.make_rotation_grid())[:n]
+    poses = rot_grid.at[:, :3, 3].set(jnp.asarray(gt[:3, 3])[None])
+    hw = cfg.crop_window_h
+
+    def make_loop(tables, **kw):
+        def one_render(p):
+            crop_tfs = transforms.compute_crop_window_tf(
+                p, Kj, (hw, hw), cfg.refine_crop_ratio, tables.diameter
+            )
+            bbox2d = transforms.construct_bbox2d(crop_tfs, hw, hw)
+            clip = transforms.pose_clip_matrix(
+                p, bbox2d, Kj, 480, 640, cfg.znear, cfg.zfar
+            )
+            return render_fused.render_views_fused(
+                tables, p, clip, hw, hw,
+                w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
+                min_depth=cfg.min_depth, max_depth=cfg.max_depth, **kw,
+            )
+
+        @jax.jit
+        def loop(poses):
+            def body(carry, _):
+                p = jax.lax.optimization_barrier(poses + carry * 1e-9)
+                out = one_render(p)
+                return jnp.float32(out[0, 0, 0, 0]), None
+
+            carry, _ = jax.lax.scan(
+                body, jnp.float32(0.0), None, length=args.iters
+            )
+            return carry
+
+        return loop
+
+    # (name, tables, kwargs); chunk default of render_views_fused is 256
+    variants = [
+        ("corner_base", tbl_corner, {}),
+        ("patch_base", tbl_patch, {}),
+        ("corner_prepass", tbl_corner, {"debug_prepass_only": True}),
+        ("corner_phase1", tbl_corner, {"debug_phase1_only": True}),
+        ("patch_phase1", tbl_patch, {"debug_phase1_only": True}),
+        ("corner_p1group8", tbl_corner, {"p1_group": 8}),
+        ("patch_p1group8", tbl_patch, {"p1_group": 8}),
+        ("corner_noquad", tbl_corner, {"quadrant_split": False}),
+        ("corner_chunk128", tbl_corner, {"chunk": 128}),
+        ("patch_chunk128", tbl_patch, {"chunk": 128}),
+        ("corner_c128_g8", tbl_corner, {"chunk": 128, "p1_group": 8}),
+    ]
+    if args.only:
+        names = set(args.only.split(","))
+        variants = [v for v in variants if v[0] in names]
+
+    for name, tables, kw in variants:
+        t_c0 = time.perf_counter()
+        loop = make_loop(tables, **kw)
+        carry = loop(poses)
+        _ = np.asarray(carry)  # compile + settle
+        compile_s = time.perf_counter() - t_c0
+        t0 = time.perf_counter()
+        _ = np.asarray(loop(poses))
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        rec = {"variant": name, "ms": round(ms, 2),
+               "compile_s": round(compile_s, 1), **kw}
+        print(json.dumps(rec), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
