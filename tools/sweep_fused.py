@@ -31,7 +31,15 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sweep_fused.jsonl")
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to run")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke mode: force the CPU backend, run the "
+                         "kernel interpreted at toy scale to validate the "
+                         "sweep's plumbing without a TPU")
     args = ap.parse_args()
+    if args.interpret:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -48,7 +56,12 @@ def main() -> None:
     n = args.n
     K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]], np.float32)
     Kj = jnp.asarray(K)
-    sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=48, n_lon=64)
+    if args.interpret:
+        sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=6, n_lon=8)
+    else:
+        sphere = procedural.textured_uv_sphere(
+            radius=0.05, n_lat=48, n_lon=64
+        )
     tbl_corner = render_fused.FusedMeshTables.from_asset(sphere)
     tbl_patch = render_fused.FusedMeshTables.from_asset(
         sphere, texture_patch_k=4
@@ -58,7 +71,7 @@ def main() -> None:
     gt = synthetic.default_pose(tz=0.6)
     rot_grid = jnp.asarray(icosphere.make_rotation_grid())[:n]
     poses = rot_grid.at[:, :3, 3].set(jnp.asarray(gt[:3, 3])[None])
-    hw = cfg.crop_window_h
+    hw = 32 if args.interpret else cfg.crop_window_h
 
     def make_loop(tables, **kw):
         def one_render(p):
@@ -72,7 +85,8 @@ def main() -> None:
             return render_fused.render_views_fused(
                 tables, p, clip, hw, hw,
                 w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
-                min_depth=cfg.min_depth, max_depth=cfg.max_depth, **kw,
+                min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+                interpret=args.interpret, **kw,
             )
 
         @jax.jit
@@ -94,14 +108,21 @@ def main() -> None:
         ("corner_base", tbl_corner, {}),
         ("patch_base", tbl_patch, {}),
         ("corner_prepass", tbl_corner, {"debug_prepass_only": True}),
+        ("patch_prepass", tbl_patch, {"debug_prepass_only": True}),
         ("corner_phase1", tbl_corner, {"debug_phase1_only": True}),
         ("patch_phase1", tbl_patch, {"debug_phase1_only": True}),
+        ("corner_p1group4", tbl_corner, {"p1_group": 4}),
         ("corner_p1group8", tbl_corner, {"p1_group": 8}),
+        ("corner_p1group16", tbl_corner, {"p1_group": 16}),
         ("patch_p1group8", tbl_patch, {"p1_group": 8}),
         ("corner_noquad", tbl_corner, {"quadrant_split": False}),
         ("corner_chunk128", tbl_corner, {"chunk": 128}),
         ("patch_chunk128", tbl_patch, {"chunk": 128}),
         ("corner_c128_g8", tbl_corner, {"chunk": 128, "p1_group": 8}),
+        ("patch_c128_g8", tbl_patch, {"chunk": 128, "p1_group": 8}),
+        ("corner_chunk64", tbl_corner, {"chunk": 64}),
+        ("corner_c128_p1", tbl_corner, {"chunk": 128,
+                                        "debug_phase1_only": True}),
     ]
     if args.only:
         names = set(args.only.split(","))
