@@ -252,6 +252,8 @@ def subdivide_adaptive(
             break
         # respect the face cap: split the worst ELIGIBLE offenders first
         budget = (max_faces - faces.shape[0]) // 3
+        if budget <= 0:
+            break  # cap reached: a zero budget would spin no-op rounds
         if int(split.sum()) > budget:
             elig = np.where(split)[0]
             keep = elig[np.argsort(-err[elig])][:budget]

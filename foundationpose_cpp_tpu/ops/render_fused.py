@@ -112,6 +112,14 @@ def vertex_colors_seam_robust(texture: np.ndarray, uvs: np.ndarray) -> np.ndarra
     """
     th, tw = texture.shape[:2]
     uvn = np.asarray(uvs, np.float64).copy()
+    # tiled UVs (outside [0, 1], standard for repeated textures) wrap first
+    # -- pointwise sampling is wrap-periodic, so u % 1 samples identically
+    # to sample_texture_at_uv's own iu0 % tw. Values already in [0, 1]
+    # (including exactly 0/1) are left alone so pinned seam behavior at the
+    # boundary is unchanged; clamping UNwrapped tiled UVs instead would pin
+    # most of the mesh to the texture's border color.
+    outside = (uvn < 0.0) | (uvn > 1.0)
+    uvn = np.where(outside, uvn - np.floor(uvn), uvn)
     uvn[:, 0] = np.clip(uvn[:, 0], 0.5 / tw, 1.0 - 0.5 / tw)
     uvn[:, 1] = np.clip(uvn[:, 1], 0.5 / th, 1.0 - 0.5 / th)
     return sample_texture_at_uv(texture, uvn)
@@ -143,6 +151,13 @@ def face_texel_patches(
     """
     th, tw = texture.shape[:2]
     fuv = np.asarray(uvs, np.float64)[faces]  # (F, 3, 2)
+    lo = fuv.min(axis=1)
+    # tiled UVs: translate each face by the integer part of its bbox min so
+    # the patch region starts inside [0, 1) -- intra-face deltas (and hence
+    # st) are translation-invariant, and the resample points that spill past
+    # 1 wrap correctly inside sample_texture_at_uv. Without this a face at
+    # u in [2.2, 2.4] would clamp-sample the texture border.
+    fuv = fuv - np.floor(lo)[:, None, :]
     lo = fuv.min(axis=1)
     hi = fuv.max(axis=1)
     # floor the extent at one texel so degenerate-UV faces still sample a
@@ -814,6 +829,17 @@ def render_views_fused(
     f = tables.num_faces
     assert img_h % TILE_H == 0 and img_w % TILE_W == 0
     assert chunk in (32, 64, 128, 256, 512), "packed depth key needs 2**k chunk"
+    if p2_window is not None and (
+        p2_window > chunk or chunk % p2_window != 0
+    ):
+        # phase 2 visits `chunk // p2_window` sub-windows per chunk; a
+        # non-divisor would silently skip the tail faces of every chunk
+        # (winners there render black with fg=1)
+        raise ValueError(
+            f"p2_window ({p2_window}) must divide chunk ({chunk})"
+        )
+    if p1_group > 1 and 32 % p1_group != 0:
+        raise ValueError(f"p1_group ({p1_group}) must divide 32")
     n_ty, n_tx = img_h // TILE_H, img_w // TILE_W
     n_tiles = n_ty * n_tx
     f32 = jax.lax.Precision.HIGHEST

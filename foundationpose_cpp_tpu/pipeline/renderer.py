@@ -90,7 +90,16 @@ class MeshConstants:
                 asset.texture, np.asarray(asset.texcoords),
                 np.asarray(asset.faces),
             )
-            texture_patch_k = 4 if float(err.max(initial=0.0)) > subdivide_tol else 0
+            if float(err.max(initial=0.0)) > subdivide_tol:
+                texture_patch_k = 4
+            else:
+                # corner sampling is already within tolerance on every
+                # face; corner-mode subdivision uses the SAME metric and
+                # threshold, so it would provably split nothing -- skip
+                # the recomputation (it is the expensive half of scan-mesh
+                # load time)
+                texture_patch_k = 0
+                auto_subdivide = False
         if auto_subdivide:
             # content-aware texture-fidelity policy: subdivide exactly the
             # faces whose sampling (patch or corner, matching the kernel

@@ -220,3 +220,50 @@ def test_kernel_knobs_are_output_invariant():
         np.testing.assert_array_equal(
             got, base, err_msg=f"p1_group={p1_group}"
         )
+
+
+def test_tiled_uvs_wrap_not_clamp():
+    """UVs outside [0,1] (tiled/repeated textures) must sample wrap-
+    periodically on the fused path, not clamp to the border color."""
+    from foundationpose_cpp_tpu.ops.render_fused import face_texel_patches
+
+    rng = np.random.default_rng(0)
+    tex = rng.uniform(0.0, 1.0, (16, 16, 3)).astype(np.float32)
+    uv_in = rng.uniform(0.05, 0.95, (12, 2))
+    for shift in ([1.0, 0.0], [2.0, -1.0], [-3.0, 4.0]):
+        got = vertex_colors_seam_robust(tex, uv_in + np.array(shift))
+        want = vertex_colors_seam_robust(tex, uv_in)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # per-face patches: a face translated by whole tiles carries the same
+    # patch and the same corner coords
+    faces = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.int32)
+    base_uv = rng.uniform(0.1, 0.6, (6, 2))
+    p0, st0 = face_texel_patches(tex, base_uv, faces)
+    p1, st1 = face_texel_patches(tex, base_uv + np.array([2.0, 3.0]), faces)
+    np.testing.assert_allclose(p1, p0, atol=1e-6)
+    np.testing.assert_allclose(st1, st0, atol=1e-5)
+
+
+def test_bad_kernel_knobs_raise():
+    sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=4, n_lon=6)
+    tables = FusedMeshTables.from_asset(sphere)
+    gt = synthetic.default_pose(tz=0.5)
+    poses = jnp.asarray(gt, jnp.float32)[None]
+    crop_tfs = transforms.compute_crop_window_tf(
+        poses, jnp.asarray(K), (CROP, CROP), CFG.refine_crop_ratio,
+        tables.diameter,
+    )
+    bbox2d = transforms.construct_bbox2d(crop_tfs, CROP, CROP)
+    clipm = transforms.pose_clip_matrix(
+        poses, bbox2d, jnp.asarray(K), IMG_H, IMG_W, CFG.znear, CFG.zfar
+    )
+    with pytest.raises(ValueError, match="p2_window"):
+        render_views_fused(
+            tables, poses, clipm, CROP, CROP, interpret=True,
+            chunk=64, p2_window=48,
+        )
+    with pytest.raises(ValueError, match="p1_group"):
+        render_views_fused(
+            tables, poses, clipm, CROP, CROP, interpret=True, p1_group=5,
+        )
