@@ -72,12 +72,14 @@ def test_sharded_register_matches_single_device(setup):
     )(params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
       jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid))
 
+    # the pjit path is partitioned by XLA from sharding annotations alone;
+    # measured BIT-IDENTICAL to single-device (scores/poses max_abs = 0)
     np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_1),
-                               rtol=5e-2, atol=5e-3)
+                               rtol=0, atol=1e-6)
     # padded rows masked out of the argmax
     assert not np.isfinite(np.asarray(scores_s)[252:]).any()
     np.testing.assert_allclose(np.asarray(best_s), np.asarray(best_1),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=0, atol=1e-6)
 
 
 def test_sharded_track_batch_matches_single_device(setup):
@@ -101,8 +103,8 @@ def test_sharded_track_batch_matches_single_device(setup):
     )(params_r, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses)))
 
     # bf16 conv reductions associate differently under SPMD partitioning;
-    # the refine deltas may differ by O(1e-3) in translation
-    np.testing.assert_allclose(out_s, out_1, rtol=1e-2, atol=2e-3)
+    # measured max_abs 1.0e-3 on the refine deltas (2x margin below)
+    np.testing.assert_allclose(out_s, out_1, rtol=1e-3, atol=2e-3)
 
 
 def test_sharded_register_fused_matches_single_device(setup):
@@ -135,13 +137,16 @@ def test_sharded_register_fused_matches_single_device(setup):
     )(params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
       jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid))
 
+    # per-shard conv batch shapes (252 vs 32) round bf16 casts differently
+    # in the scorer; measured scores max_abs 1.1e-2 / max_rel 6.5e-3
+    # (~one bf16 ulp). Poses measured bit-identical through the refiner.
     np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_1),
-                               rtol=5e-2, atol=5e-3)
+                               rtol=2e-2, atol=2e-3)
     assert not np.isfinite(np.asarray(scores_s)[252:]).any()
     np.testing.assert_allclose(np.asarray(best_s), np.asarray(best_1),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(poses_s), np.asarray(poses_1),
-                               rtol=1e-2, atol=2e-3)
+                               rtol=0, atol=1e-6)
 
 
 def test_sharded_register_fused_cross_attention_gathers(setup):
@@ -181,8 +186,10 @@ def test_sharded_register_fused_cross_attention_gathers(setup):
     )(params_r, params_sx, jnp.asarray(rgb), jnp.asarray(depth),
       jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid))
 
+    # measured max_abs 8.2e-3 / max_rel 7.4e-3 (bf16 conv-batch rounding;
+    # the pooled all-gather itself is exact)
     np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_1),
-                               rtol=5e-2, atol=5e-3)
+                               rtol=2e-2, atol=2e-3)
 
 
 def test_sharded_track_batch_fused_matches_single_device(setup):
@@ -207,4 +214,6 @@ def test_sharded_track_batch_fused_matches_single_device(setup):
         )
     )(params_r, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(poses)))
 
-    np.testing.assert_allclose(out_s, out_1, rtol=1e-2, atol=2e-3)
+    # measured max_abs 6e-8: per-shard batch 2 vs 16 through the fused
+    # interpret-mode renderer + refiner changes nothing but f32 noise
+    np.testing.assert_allclose(out_s, out_1, rtol=0, atol=1e-6)
