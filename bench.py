@@ -23,7 +23,41 @@ import time
 import numpy as np
 
 
+def _init_backend_or_die(timeout_s: float = 300.0):
+    """jax.devices() with a watchdog: the axon TPU tunnel, when its remote
+    pool is down or in single-client limbo, blocks backend init FOREVER
+    (no error, ~0 CPU). A hung bench run is worse than a failed one -- emit
+    one parsable JSON line and hard-exit so the driver records the outage
+    instead of timing out the round."""
+    import os
+    import threading
+
+    result: dict = {}
+
+    def probe() -> None:
+        import jax
+
+        result["devices"] = jax.devices()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in result:
+        print(json.dumps({
+            "metric": "register_fps",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "details": {
+                "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                         "(tunnel down or in single-client limbo)",
+            },
+        }))
+        os._exit(0)  # the stuck init thread cannot be joined
+
+
 def main() -> None:
+    _init_backend_or_die()
     import jax
     import jax.numpy as jnp
 
