@@ -301,3 +301,29 @@ def test_production_mesh_defaults_to_patches():
     assert mesh.fused.patch_k == 4
     assert mesh.fused.face_patch is not None
     assert mesh.fused.face_patch.shape[0] == 6 + 3 * 16 + 2  # row-padded
+
+
+def test_auto_gate_skips_noop_subdivision(monkeypatch):
+    """When the auto texture gate measures every face under tolerance,
+    corner-mode subdivision is provably a no-op (same metric, same
+    threshold) and from_asset must not spend the pass at all -- it is the
+    expensive half of scan-mesh load time."""
+    from foundationpose_cpp_tpu.meshio import subdivide as subdiv_mod
+
+    base = procedural.textured_uv_sphere(radius=0.05, n_lat=10, n_lon=14)
+    ys, xs = np.mgrid[0:64, 0:64] / 64.0
+    smooth = np.stack(
+        [0.2 + 0.6 * xs, 0.3 + 0.5 * ys, 0.5 + 0.3 * xs * ys], axis=-1
+    ).astype(np.float32)
+    asset = make_mesh_asset(
+        base.name, base.vertices, base.faces, base.texcoords,
+        base.vertex_normals, smooth,
+    )
+
+    def _boom(*a, **kw):
+        raise AssertionError("subdivide_adaptive ran on an under-tol mesh")
+
+    monkeypatch.setattr(subdiv_mod, "subdivide_adaptive", _boom)
+    mesh = MeshConstants.from_asset(asset, auto_subdivide=True)
+    assert mesh.fused.patch_k == 0  # corner path kept (texture is smooth)
+    assert mesh.fused.num_faces == asset.num_faces  # untouched geometry
