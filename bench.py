@@ -56,6 +56,17 @@ def _init_backend_or_die(timeout_s: float = 300.0):
         os._exit(0)  # the stuck init thread cannot be joined
 
 
+def _hbm_peak_gb(jax) -> float | None:
+    """Peak device-memory use if the backend reports it (the reference's
+    README reports 6.5/5.8 GB GPU for Register/Track -- README.md:41-42)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 2**30, 2) if peak else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     _init_backend_or_die()
     import jax
@@ -440,6 +451,7 @@ def main() -> None:
                 "load_ms": round(scan_load_ms, 1),
                 "render_ms_scan": round(render_ms_scan, 1),
             },
+            "hbm_peak_gb": _hbm_peak_gb(jax),
             "platform": jax.devices()[0].platform,
             "mesh_faces": int(sphere.num_faces),
             "image": [h, w],

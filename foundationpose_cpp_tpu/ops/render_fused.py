@@ -423,15 +423,28 @@ def _fused_kernel(
     patch_k=0,
     p2_window=None,
     p1_group=1,
+    p1_livelist=False,
+    p2_dynamic=False,
 ):
-    """All control flow is STATIC fori + @pl.when (see module docstring);
-    pixel state lives in VMEM scratch because predicated bodies cannot carry
-    loop values."""
-    if patch_k:
-        patch_ref, out_ref, state_f_ref, state_i_ref = rest
-    else:
-        patch_ref = None
-        out_ref, state_f_ref, state_i_ref = rest
+    """Control flow is static fori + @pl.when by default (see module
+    docstring); pixel state lives in VMEM scratch because predicated bodies
+    cannot carry loop values.
+
+    Two DYNAMIC-trip-count options trade Mosaic's static-loop safety for
+    skipping dead iterations outright (fori trip machinery costs ~50 cycles
+    per (tile, chunk) even when the body is predicated off, and meshes past
+    _UNROLL_MAX chunks pay it for every chunk):
+      p1_livelist: phase 1 loops over a PREFETCHED per-(view, tile) list of
+        live chunk ids (SMEM, built in the XLA prepass from the same overlap
+        test as the bitmask) -- trip count == live chunks, zero dead visits.
+      p2_dynamic: phase 2 loops fori(lo, hi) over the winner Morton range's
+        chunk span instead of range-testing every chunk -- typically 1-3
+        trips instead of n_chunks.
+    """
+    rest = list(rest)
+    patch_ref = rest.pop(0) if patch_k else None
+    live_ref = rest.pop(0) if p1_livelist else None
+    out_ref, state_f_ref, state_i_ref = rest
     ty = pl.program_id(1)
     tx = pl.program_id(2)
 
@@ -560,7 +573,39 @@ def _fused_kernel(
     # cycles per (tile, chunk) even when the chunk is dead, and typical
     # meshes have only ~24 chunks (empty-scene floor measured 17.6 ms of a
     # 47.6 ms phase 1); large meshes fall back to fori to bound compile time
-    if n_chunks <= _UNROLL_MAX:
+    if p1_livelist:
+        # dynamic trip count == live chunks for THIS tile: the prefetched
+        # list (count | ascending live chunk ids) replaces both the bitmask
+        # test and the dead-trip machinery; every iteration does real work
+        nlive = live_ref[0, t_lin, 0]
+
+        def live_body(k, carry):
+            ci = live_ref[0, t_lin, 1 + k]
+            cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
+            if not quadrant_split:
+                depth_chunk_quadrant(ci, cf, 0, 0)
+                return carry
+            cy0 = cbb_ref[0, ci, 0]
+            cy1 = cbb_ref[0, ci, 1]
+            cx0 = cbb_ref[0, ci, 2]
+            cx1 = cbb_ref[0, ci, 3]
+            for q in range(4):
+                qy, qx = q // 2, q % 2
+                y0q = (ty * TILE_H + qy * 16).astype(jnp.float32)
+                x0q = (tx * TILE_W + qx * 16).astype(jnp.float32)
+                hit = (
+                    (cy0 <= y0q + 15.0) & (cy1 >= y0q)
+                    & (cx0 <= x0q + 15.0) & (cx1 >= x0q)
+                )
+
+                @pl.when(hit)
+                def _(q=q, ci=ci, cf=cf):
+                    depth_chunk_quadrant(ci, cf, q, q * QS)
+
+            return carry
+
+        jax.lax.fori_loop(0, nlive, live_body, 0)
+    elif n_chunks <= _UNROLL_MAX:
         if p1_group > 1:
             # superchunk gate: one scalar bitmask test skips a whole group
             # of dead chunk bodies (their bits share a 32-bit word as long
@@ -761,7 +806,19 @@ def _fused_kernel(
     # phase 2 stays a fori loop: unrolling it was measured 6x SLOWER
     # (199 ms full render) -- the per-iteration transpose + concat inside
     # the predicated region blow up when replicated 24x
-    jax.lax.fori_loop(0, n_chunks, attr_body, 0)
+    if p2_dynamic and not debug_phase1_only:
+        # winners span [smin, smax] (Morton-compact); loop ONLY the windows
+        # that intersect it -- dynamic bounds, typically 1-3 trips instead
+        # of n_chunks. A no-winner tile has smin=_BIG, smax=-1 -> lo > hi
+        # -> zero trips. Visits the same window set as the static predicate
+        # (smin < slo + p2w) & (smax >= slo).
+        def attr_window_dyn(k, carry):
+            attr_window(k * p2w)
+            return carry
+
+        jax.lax.fori_loop(smin // p2w, smax // p2w + 1, attr_window_dyn, 0)
+    else:
+        jax.lax.fori_loop(0, n_chunks, attr_body, 0)
     st = state_f_ref[1:9]
     r, g, b = st[0:1], st[1:2], st[2:3]
     x, y, z, d = st[3:4], st[4:5], st[5:6], st[6:7]
@@ -798,6 +855,7 @@ def _fused_kernel(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
         "quadrant_split", "p2_window", "debug_prepass_only", "p1_group",
+        "p1_livelist", "p2_dynamic",
     ),
 )
 def render_views_fused(
@@ -818,6 +876,8 @@ def render_views_fused(
     p2_window: int | None = None,
     debug_prepass_only: bool = False,
     p1_group: int = 1,
+    p1_livelist: bool = False,
+    p2_dynamic: bool = False,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -1044,6 +1104,20 @@ def render_views_fused(
         & (cy1[:, :, None] >= tly[None, None, :])
     )  # (N, n_chunks, T)
 
+    live_list = None
+    if p1_livelist:
+        # per-(view, tile) live-chunk list: [count | ascending live ids |
+        # sentinel pad]; the kernel's dynamic-trip phase-1 loop reads ids
+        # 1..count and never touches the pad (sorted dead slots carry
+        # n_chunks, out of range by construction)
+        cid = jnp.arange(n_chunks, dtype=jnp.int32)
+        ids = jnp.where(
+            overlap, cid[None, :, None], jnp.int32(n_chunks)
+        )  # (N, C, T)
+        ids_sorted = jnp.sort(ids, axis=1).transpose(0, 2, 1)  # (N, T, C)
+        counts = overlap.sum(axis=1).astype(jnp.int32)  # (N, T)
+        live_list = jnp.concatenate([counts[:, :, None], ids_sorted], axis=2)
+
     pad_c = (-n_chunks) % 32
     if pad_c:
         overlap = jnp.pad(overlap, ((0, 0), (0, pad_c), (0, 0)))
@@ -1082,6 +1156,8 @@ def render_views_fused(
         patch_k=patch_k,
         p2_window=p2_window,
         p1_group=p1_group,
+        p1_livelist=p1_livelist,
+        p2_dynamic=p2_dynamic,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)
@@ -1091,7 +1167,10 @@ def render_views_fused(
         MAJOR -- (G, 16/24, F_pad) with the large face axis minor -- so the
         lane dim is fully utilized (a face-major (F_pad, 16) layout would
         lane-pad 16 -> 128 and cost 8x the HBM traffic, the old design)."""
-        coeff_g, attr_g, bits_g, cbb_g, trans_g = args
+        if p1_livelist:
+            coeff_g, attr_g, bits_g, cbb_g, trans_g, live_g = args
+        else:
+            coeff_g, attr_g, bits_g, cbb_g, trans_g = args
         g = coeff_g.shape[1]
         # coeff table FACE-MAJOR (phase 1's MXU dots want faces on
         # sublanes; it pays 16 -> 128 lane padding in HBM), attr table
@@ -1119,6 +1198,13 @@ def render_views_fused(
                              memory_space=pltpu.VMEM)
             )
             operands.append(patch_tab)
+        if p1_livelist:
+            in_specs.append(
+                pl.BlockSpec((1, n_tiles, 1 + n_chunks),
+                             lambda i, t, u: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+            operands.append(live_g)
         return pl.pallas_call(
             kernel,
             grid=(g, n_ty, n_tx),
@@ -1180,15 +1266,19 @@ def render_views_fused(
         )
         return jnp.zeros((n, img_h, img_w, 6), jnp.float32) + probe * 1e-30
     n_groups = n_pad // group
+    map_args = [
+        coeff_stack.reshape(16, n_groups, group, f_pad).transpose(1, 0, 2, 3),
+        attr_stack.reshape(attr_rows, n_groups, group, f_pad).transpose(1, 0, 2, 3),
+        padn(bits).reshape(n_groups, group, n_tiles, w32),
+        padn(cbb).reshape(n_groups, group, n_chunks, 4),
+        padn(trans).reshape(n_groups, group, 1, 8),
+    ]
+    if p1_livelist:
+        map_args.append(
+            padn(live_list).reshape(n_groups, group, n_tiles, 1 + n_chunks)
+        )
     out = jax.lax.map(
-        run_group,
-        (
-            coeff_stack.reshape(16, n_groups, group, f_pad).transpose(1, 0, 2, 3),
-            attr_stack.reshape(attr_rows, n_groups, group, f_pad).transpose(1, 0, 2, 3),
-            padn(bits).reshape(n_groups, group, n_tiles, w32),
-            padn(cbb).reshape(n_groups, group, n_chunks, 4),
-            padn(trans).reshape(n_groups, group, 1, 8),
-        ),
+        run_group, tuple(map_args)
     )  # (n_groups, G, TY, TX, 8, LANES)
     out = out.reshape(n_pad, n_ty, n_tx, 8, LANES)[:n]
 

@@ -220,6 +220,59 @@ def test_kernel_knobs_are_output_invariant():
         np.testing.assert_array_equal(
             got, base, err_msg=f"p1_group={p1_group}"
         )
+    # dynamic-trip-count variants: the prefetched phase-1 live-chunk list
+    # and the phase-2 winner-range loop visit exactly the chunks the static
+    # predicates accept, so both must be pure scheduling knobs too
+    for kw in (
+        {"p1_livelist": True},
+        {"p2_dynamic": True},
+        {"p1_livelist": True, "p2_dynamic": True},
+        {"p1_livelist": True, "p2_dynamic": True, "chunk": 64},
+        {"p1_livelist": True, "quadrant_split": False},
+    ):
+        got = np.asarray(
+            render_views_fused(
+                tables, poses, clipm, CROP, CROP, interpret=True, **kw
+            )
+        )
+        np.testing.assert_array_equal(got, base, err_msg=str(kw))
+    # multi-tile grid: CROP=32 is a single 32x32 tile, which never
+    # exercises the livelist's per-tile SMEM indexing (t_lin = ty*n_tx+tx)
+    # -- force a 2x3 tile grid and a pose whose silhouette straddles tiles
+    _, _, tables_mt, poses_mt, clipm_mt = _setup(n_poses=2, tz=0.28)
+    base_mt = np.asarray(
+        render_views_fused(tables_mt, poses_mt, clipm_mt, 64, 96, interpret=True)
+    )
+    assert (base_mt[..., 3:] != 0).any(), "silhouette left the 64x96 window"
+    for kw in (
+        {"p1_livelist": True},
+        {"p1_livelist": True, "p2_dynamic": True, "chunk": 64},
+    ):
+        got = np.asarray(
+            render_views_fused(
+                tables_mt, poses_mt, clipm_mt, 64, 96, interpret=True, **kw
+            )
+        )
+        np.testing.assert_array_equal(got, base_mt, err_msg=f"64x96 {kw}")
+    # patch-texturing tables add a THIRD positional ref (patch_ref precedes
+    # live_ref in the kernel's variadic unpacking) -- the combination must
+    # stay a pure scheduling knob against a patch-mode baseline
+    asset_p, _, _, _, _ = _setup(n_poses=2)
+    tables_p = FusedMeshTables.from_asset(asset_p, texture_patch_k=4)
+    assert tables_p.patch_k, "patch tables expected for this case"
+    base_p = np.asarray(
+        render_views_fused(tables_p, poses, clipm, CROP, CROP, interpret=True)
+    )
+    for kw in (
+        {"p1_livelist": True},
+        {"p1_livelist": True, "p2_dynamic": True},
+    ):
+        got = np.asarray(
+            render_views_fused(
+                tables_p, poses, clipm, CROP, CROP, interpret=True, **kw
+            )
+        )
+        np.testing.assert_array_equal(got, base_p, err_msg=f"patch {kw}")
 
 
 def test_tiled_uvs_wrap_not_clamp():

@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sweep_fused.jsonl")
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to run")
+    ap.add_argument("--lat", type=int, default=48)
+    ap.add_argument("--lon", type=int, default=64,
+                    help="sphere tessellation; 104/139 gives a ~28k-face "
+                         "mesh in the fori (past-unroll) regime like the "
+                         "scan pipeline's subdivided meshes")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke mode: force the CPU backend, run the "
                          "kernel interpreted at toy scale to validate the "
@@ -60,7 +65,7 @@ def main() -> None:
         sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=6, n_lon=8)
     else:
         sphere = procedural.textured_uv_sphere(
-            radius=0.05, n_lat=48, n_lon=64
+            radius=0.05, n_lat=args.lat, n_lon=args.lon
         )
     tbl_corner = render_fused.FusedMeshTables.from_asset(sphere)
     tbl_patch = render_fused.FusedMeshTables.from_asset(
@@ -123,6 +128,42 @@ def main() -> None:
         ("corner_chunk64", tbl_corner, {"chunk": 64}),
         ("corner_c128_p1", tbl_corner, {"chunk": 128,
                                         "debug_phase1_only": True}),
+        # no-quadrant-split x chunk matrix: after the block-diagonal merge
+        # every live (chunk, tile) visit is ONE dot, and the chunk-128 ~= 256
+        # tie implies per-visit FIXED cost ~= 2x the variable cost; counted
+        # overlaps (252 views, 6016-face sphere) give 349 quadrant visits vs
+        # 126.5 live pairs per view at chunk 256, so one fat dot per pair
+        # should beat ~2.76 thin ones. (The round-2 "quadrant predication
+        # wins" predates the merge, when each visit was 4 dots.)
+        ("patch_nq", tbl_patch, {"quadrant_split": False}),
+        ("corner_c128_nq", tbl_corner, {"chunk": 128,
+                                        "quadrant_split": False}),
+        ("patch_c128_nq", tbl_patch, {"chunk": 128,
+                                      "quadrant_split": False}),
+        ("corner_c512_nq", tbl_corner, {"chunk": 512,
+                                        "quadrant_split": False}),
+        ("corner_c128_nq_p1", tbl_corner, {"chunk": 128,
+                                           "quadrant_split": False,
+                                           "debug_phase1_only": True}),
+        ("patch_c128_nq_g8", tbl_patch, {"chunk": 128,
+                                         "quadrant_split": False,
+                                         "p1_group": 8}),
+        # dynamic-trip-count variants (p1 live-chunk list / p2 winner-range
+        # loop): zero dead iterations, at the cost of dynamic-bound loops
+        # whose Mosaic lowering has historically compiled slowly
+        ("patch_p2dyn", tbl_patch, {"p2_dynamic": True}),
+        ("patch_livelist", tbl_patch, {"p1_livelist": True}),
+        ("patch_dyn_both", tbl_patch, {"p1_livelist": True,
+                                       "p2_dynamic": True}),
+        ("patch_c128_dyn_both", tbl_patch, {"chunk": 128,
+                                            "p1_livelist": True,
+                                            "p2_dynamic": True}),
+        ("patch_c128_nq_dyn", tbl_patch, {"chunk": 128,
+                                          "quadrant_split": False,
+                                          "p1_livelist": True,
+                                          "p2_dynamic": True}),
+        ("corner_dyn_both", tbl_corner, {"p1_livelist": True,
+                                         "p2_dynamic": True}),
     ]
     if args.only:
         names = set(args.only.split(","))
