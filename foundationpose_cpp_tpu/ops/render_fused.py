@@ -34,9 +34,11 @@ The fused design eliminates every per-pixel gather and every runtime sort:
 - culling is a per-(view, tile) BITMASK over face chunks, built in XLA from
   chunk union bboxes (segment min/max, no gathers) and stored in SMEM: the
   CudaRaster bin/coarse stages collapse into `(word >> bit) & 1`.
-- the kernel runs two phases per tile with STATIC loop bounds (Mosaic compile
-  time explodes on dynamic-bound loops: 6 s static vs 78 s dynamic vs minutes
-  for cond-in-loop, measured): a depth phase (exact edge functions +
+- the kernel runs two phases per tile with STATIC loop bounds by default
+  (Mosaic compile time explodes on dynamic-bound loops: 6 s static vs 78 s
+  dynamic vs minutes for cond-in-loop, measured; the opt-in
+  p1_livelist/p2_dynamic knobs trade that safety for zero dead trips --
+  dynamic trip COUNTS around the unchanged static bodies): a depth phase (exact edge functions +
   screen-affine z/w plane -> nearest-depth winner per pixel) and an attribute
   phase that revisits only chunks containing winners, masked-reducing the
   winner's corner attributes and barycentrics. Lambert shading
@@ -407,7 +409,9 @@ def _fused_kernel(
     bits_ref,  # (1, n_tiles, W32) SMEM i32: chunk-overlap bitmask per tile
     cbb_ref,  # (1, n_chunks, 4) SMEM f32: chunk bboxes [y0 y1 x0 x1]
     trans_ref,  # (1, 1, 8) SMEM: [tx ty tz 0 0 0 0 0]
-    *rest,  # [patch_ref (rows_p, F_pad) VMEM when patch_k] out, scratches
+    *rest,  # [patch_ref (rows_p, F_pad) VMEM when patch_k]
+    #         [live_ref (1, n_tiles, 1+n_chunks) SMEM when p1_livelist]
+    #         out, scratches
     n_chunks,
     chunk,
     img_h,
@@ -434,7 +438,7 @@ def _fused_kernel(
     skipping dead iterations outright (fori trip machinery costs ~50 cycles
     per (tile, chunk) even when the body is predicated off, and meshes past
     _UNROLL_MAX chunks pay it for every chunk):
-      p1_livelist: phase 1 loops over a PREFETCHED per-(view, tile) list of
+      p1_livelist: phase 1 loops over a precomputed per-(view, tile) list of
         live chunk ids (SMEM, built in the XLA prepass from the same overlap
         test as the bitmask) -- trip count == live chunks, zero dead visits.
       p2_dynamic: phase 2 loops fori(lo, hi) over the winner Morton range's
@@ -543,29 +547,34 @@ def _fused_kernel(
         winc = state_i_ref[1:2, qs : qs + lane_span]
         state_i_ref[1:2, qs : qs + lane_span] = jnp.where(take, ci, winc)
 
+    def visit_chunk(ci, cf):
+        """One (tile, chunk) visit: quadrant hit test + phase-1 dispatch.
+        Shared by the static bitmask path and the dynamic livelist path so
+        the two schedules cannot diverge."""
+        if not quadrant_split:
+            depth_chunk_quadrant(ci, cf, 0, 0)
+            return
+        cy0 = cbb_ref[0, ci, 0]
+        cy1 = cbb_ref[0, ci, 1]
+        cx0 = cbb_ref[0, ci, 2]
+        cx1 = cbb_ref[0, ci, 3]
+        for q in range(4):
+            qy, qx = q // 2, q % 2
+            y0q = (ty * TILE_H + qy * 16).astype(jnp.float32)
+            x0q = (tx * TILE_W + qx * 16).astype(jnp.float32)
+            hit = (
+                (cy0 <= y0q + 15.0) & (cy1 >= y0q)
+                & (cx0 <= x0q + 15.0) & (cx1 >= x0q)
+            )
+
+            @pl.when(hit)
+            def _(q=q, ci=ci, cf=cf):
+                depth_chunk_quadrant(ci, cf, q, q * QS)
+
     def depth_body(ci, carry):
         @pl.when(chunk_live(ci))
         def _():
-            cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
-            if not quadrant_split:
-                depth_chunk_quadrant(ci, cf, 0, 0)
-                return
-            cy0 = cbb_ref[0, ci, 0]
-            cy1 = cbb_ref[0, ci, 1]
-            cx0 = cbb_ref[0, ci, 2]
-            cx1 = cbb_ref[0, ci, 3]
-            for q in range(4):
-                qy, qx = q // 2, q % 2
-                y0q = (ty * TILE_H + qy * 16).astype(jnp.float32)
-                x0q = (tx * TILE_W + qx * 16).astype(jnp.float32)
-                hit = (
-                    (cy0 <= y0q + 15.0) & (cy1 >= y0q)
-                    & (cx0 <= x0q + 15.0) & (cx1 >= x0q)
-                )
-
-                @pl.when(hit)
-                def _(q=q):
-                    depth_chunk_quadrant(ci, cf, q, q * QS)
+            visit_chunk(ci, coeff_ref[0, pl.ds(ci * chunk, chunk), :])
 
         return carry
 
@@ -574,34 +583,15 @@ def _fused_kernel(
     # meshes have only ~24 chunks (empty-scene floor measured 17.6 ms of a
     # 47.6 ms phase 1); large meshes fall back to fori to bound compile time
     if p1_livelist:
-        # dynamic trip count == live chunks for THIS tile: the prefetched
-        # list (count | ascending live chunk ids) replaces both the bitmask
-        # test and the dead-trip machinery; every iteration does real work
+        # dynamic trip count == live chunks for THIS tile: the precomputed
+        # SMEM list (count | ascending live chunk ids) replaces both the
+        # bitmask test and the dead-trip machinery; every iteration does
+        # real work
         nlive = live_ref[0, t_lin, 0]
 
         def live_body(k, carry):
             ci = live_ref[0, t_lin, 1 + k]
-            cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
-            if not quadrant_split:
-                depth_chunk_quadrant(ci, cf, 0, 0)
-                return carry
-            cy0 = cbb_ref[0, ci, 0]
-            cy1 = cbb_ref[0, ci, 1]
-            cx0 = cbb_ref[0, ci, 2]
-            cx1 = cbb_ref[0, ci, 3]
-            for q in range(4):
-                qy, qx = q // 2, q % 2
-                y0q = (ty * TILE_H + qy * 16).astype(jnp.float32)
-                x0q = (tx * TILE_W + qx * 16).astype(jnp.float32)
-                hit = (
-                    (cy0 <= y0q + 15.0) & (cy1 >= y0q)
-                    & (cx0 <= x0q + 15.0) & (cx1 >= x0q)
-                )
-
-                @pl.when(hit)
-                def _(q=q, ci=ci, cf=cf):
-                    depth_chunk_quadrant(ci, cf, q, q * QS)
-
+            visit_chunk(ci, coeff_ref[0, pl.ds(ci * chunk, chunk), :])
             return carry
 
         jax.lax.fori_loop(0, nlive, live_body, 0)
@@ -900,6 +890,10 @@ def render_views_fused(
         )
     if p1_group > 1 and 32 % p1_group != 0:
         raise ValueError(f"p1_group ({p1_group}) must divide 32")
+    if p1_livelist and p1_group > 1:
+        # the livelist path replaces the bitmask walk entirely; a silent
+        # override would let a sweep record claim a p1_group it never ran
+        raise ValueError("p1_livelist ignores p1_group; pass one or the other")
     n_ty, n_tx = img_h // TILE_H, img_w // TILE_W
     n_tiles = n_ty * n_tx
     f32 = jax.lax.Precision.HIGHEST
@@ -1264,6 +1258,11 @@ def render_views_fused(
             coeff_stack.sum() + attr_stack.sum()
             + bits.sum().astype(jnp.float32) + cbb.sum()
         )
+        if p1_livelist:
+            # the livelist sort/concat is prepass work too; without this
+            # term XLA dead-code-eliminates it and the prepass-vs-kernel
+            # attribution for livelist variants is wrong
+            probe = probe + live_list.sum().astype(jnp.float32)
         return jnp.zeros((n, img_h, img_w, 6), jnp.float32) + probe * 1e-30
     n_groups = n_pad // group
     map_args = [

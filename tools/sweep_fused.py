@@ -179,7 +179,8 @@ def main() -> None:
         _ = np.asarray(loop(poses))
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         rec = {"variant": name, "ms": round(ms, 2),
-               "compile_s": round(compile_s, 1), **kw}
+               "compile_s": round(compile_s, 1),
+               "faces": int(tables.num_faces), **kw}
         print(json.dumps(rec), flush=True)
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
