@@ -89,7 +89,12 @@ def _split_faces(
     """One midpoint-subdivision round of the faces selected by `split`.
 
     Edge midpoints are shared between neighbor faces via an edge cache, so
-    the surface stays watertight; normals are renormalized.
+    edges where BOTH neighbors split stay watertight; a split/unsplit
+    boundary leaves a T-vertex (midpoint exactly on the neighbor's edge) --
+    geometrically coincident, but its color is a fresh texture sample while
+    the unsplit side interpolates corners, so a shading seam of exactly the
+    sampling error being corrected can appear across such edges. Normals
+    are renormalized.
     """
     vlist = [verts]
     nlist = [normals]
@@ -146,8 +151,10 @@ def subdivide_for_texture(
     """Midpoint-subdivide faces until each spans <= max_texels_per_face.
 
     Vertices/normals/UVs are midpoint-interpolated (normals renormalized);
-    edge midpoints are shared between neighbor faces via an edge cache, so
-    the surface stays watertight. Faces already within budget are untouched.
+    edge midpoints are shared between neighbor faces via an edge cache
+    (watertight where both neighbors split; see _split_faces for the
+    T-vertex caveat at split/unsplit boundaries). Faces already within
+    budget are untouched.
 
     Note: midpoint UV interpolation assumes faces do not straddle a texture
     wrap seam internally (true for meshes with duplicated seam vertices,
@@ -164,6 +171,18 @@ def subdivide_for_texture(
         split = ext > max_texels_per_face
         if not split.any() or faces.shape[0] >= max_faces:
             break
+        # respect the face cap WITHIN a round (each split adds 3 faces):
+        # without this clamp one round on an all-flagged mesh overshoots
+        # max_faces by up to 4x, defeating the VMEM/face-table bound the
+        # cap exists for -- worst offenders first, same as subdivide_adaptive
+        budget = (max_faces - faces.shape[0]) // 3
+        if budget <= 0:
+            break
+        if int(split.sum()) > budget:
+            elig = np.where(split)[0]
+            keep = elig[np.argsort(-ext[elig])][:budget]
+            split = np.zeros_like(split)
+            split[keep] = True
         verts, normals, uvs, faces = _split_faces(
             verts, normals, uvs, faces, split
         )
@@ -225,8 +244,17 @@ def subdivide_adaptive(
             # predicts the error after one split; requiring a 30%
             # improvement admits coherent detail (checker cells: gain
             # 0.6-0.75) and rejects noise.
-            fine = face_patch_error(asset.texture, u, f, pk=2 * patch_k)
-            gain = fine < 0.7 * err
+            # the 2pk lookahead is the expensive half of scan-mesh load
+            # time: evaluate it only on the err > tol candidates instead
+            # of every face (identical mask, fraction of the cost)
+            cand = np.where(err > tol)[0]
+            out = np.zeros(err.shape[0], bool)
+            if cand.size == 0:
+                return out
+            fine = face_patch_error(
+                asset.texture, u, f[cand], pk=2 * patch_k
+            )
+            gain = fine < 0.7 * err[cand]
             # footprint clause: the one-level lookahead underestimates
             # multi-round gains on faces spanning MANY texels (a 64-texel
             # checker face needs 3 rounds of splits before pk doubling
@@ -235,8 +263,9 @@ def subdivide_adaptive(
             # (checker cells), never for per-texel noise, whose error
             # floor no resolution reaches.
             th, tw = asset.texture.shape[:2]
-            big = _face_uv_texels(u, f, th, tw) > 4.0 * patch_k
-            return (err > tol) & (gain | (big & (fine <= tol)))
+            big = _face_uv_texels(u, f[cand], th, tw) > 4.0 * patch_k
+            out[cand] = gain | (big & (fine <= tol))
+            return out
     else:
         def _err(u, f):
             return face_sampling_error(asset.texture, u, f)

@@ -64,14 +64,22 @@ class AsyncTracker:
         self._stop = threading.Event()
         self._frame_counter = 0
         self._packed_step = None  # jitted packed-frame Track, built lazily
+        self._uploader: threading.Thread | None = None
 
     def push_frame(self, rgb: np.ndarray, depth: np.ndarray) -> None:
         """Producer side (any thread)."""
         h, w = self._hw
-        assert rgb.shape == (h, w, 3) and rgb.dtype == np.uint8
-        assert depth.shape == (h, w) and depth.dtype == np.float32
+        if rgb.shape != (h, w, 3) or rgb.dtype != np.uint8:
+            raise ValueError(f"rgb must be u8 ({h},{w},3), got {rgb.dtype} {rgb.shape}")
+        if depth.shape != (h, w) or depth.dtype != np.float32:
+            raise ValueError(f"depth must be f32 ({h},{w}), got {depth.dtype} {depth.shape}")
+        # ascontiguousarray: .view(u8) requires the last axis contiguous,
+        # which a depth ROI slice with correct shape+dtype would violate
         buf = np.concatenate(
-            [rgb.reshape(-1), depth.view(np.uint8).reshape(-1)]
+            [
+                np.ascontiguousarray(rgb).reshape(-1),
+                np.ascontiguousarray(depth).view(np.uint8).reshape(-1),
+            ]
         )
         self._ring.push(buf)
         self._frame_counter += 1
@@ -106,6 +114,14 @@ class AsyncTracker:
 
         import jax
 
+        if self._uploader is not None and self._uploader.is_alive():
+            # a previous run()'s uploader is still wedged (e.g. blocked in a
+            # stalled device_put); a second consumer on the single-consumer
+            # ring would steal/corrupt frames
+            raise RuntimeError(
+                "previous run()'s uploader has not exited; call stop() and "
+                "wait for it before starting a new run"
+            )
         if self._packed_step is None:
             self._packed_step = self._model.make_packed_tracker(
                 self._target, self._hw, self._refine_itr
@@ -117,12 +133,17 @@ class AsyncTracker:
         records: list[TrackRecord] = []
         staged: "queue.Queue" = queue.Queue(maxsize=2)
         done = object()
+        # run-LOCAL stop flag: a wedged uploader from this run can never be
+        # revived by a later run clearing the shared event (the shared
+        # self._stop only carries the external stop() request)
+        run_stop = threading.Event()
+
+        def stopped() -> bool:
+            return run_stop.is_set() or self._stop.is_set()
 
         def uploader() -> None:
             n = 0
-            while not self._stop.is_set() and (
-                max_frames is None or n < max_frames
-            ):
+            while not stopped() and (max_frames is None or n < max_frames):
                 item = self._ring.pop_latest()
                 if item is None:
                     # wait for the producer (same as the pre-pipelined loop:
@@ -132,14 +153,14 @@ class AsyncTracker:
                 buf, skipped = item
                 t_cap = time.perf_counter()
                 dev = jax.device_put(buf)
-                while not self._stop.is_set():
+                while not stopped():
                     try:
                         staged.put((dev, skipped, t_cap), timeout=0.2)
                         n += 1
                         break
                     except queue.Full:
                         continue
-            while not self._stop.is_set():
+            while not stopped():
                 try:
                     staged.put(done, timeout=0.2)
                     return
@@ -147,6 +168,7 @@ class AsyncTracker:
                     continue
 
         up = threading.Thread(target=uploader, daemon=True)
+        self._uploader = up
         up.start()
         pending: list[tuple[int, float, int, float, "jax.Array"]] = []
         processed = 0
@@ -187,13 +209,16 @@ class AsyncTracker:
                 complete(entry)
             pending.clear()
         finally:
-            self._stop.set()
+            run_stop.set()
             while True:  # unblock the uploader if it is mid-put
                 try:
                     staged.get_nowait()
                 except queue.Empty:
                     break
             up.join(timeout=2.0)
+            # run_stop stays set forever, so even an uploader wedged past
+            # the join timeout (e.g. in a stalled device_put) exits when it
+            # wakes instead of consuming the next run's ring frames
             self._stop.clear()  # run() may be called again
         return records
 
@@ -203,6 +228,11 @@ class AsyncTracker:
     @property
     def dropped_frames(self) -> int:
         return self._ring.dropped
+
+    @property
+    def pushed_frames(self) -> int:
+        """Frames the producer has pushed (dropped + consumed + in-ring)."""
+        return self._frame_counter
 
     def close(self) -> None:
         self._ring.close()

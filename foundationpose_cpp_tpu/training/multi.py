@@ -146,6 +146,14 @@ def _multi_batch(
     make_single: Callable[..., dict[str, jnp.ndarray]],
     use_fused: bool,
 ) -> dict[str, jnp.ndarray]:
+    if not use_fused:
+        # bank_mesh's unfused-path fields are placeholders (faces=zeros):
+        # the unfused renderer would produce all-black frames and the run
+        # would train for an hour on garbage before anyone noticed
+        raise ValueError(
+            "mesh-bank training requires the fused renderer (use_fused=True;"
+            " on CPU pass interpret-mode tables or train per-object instead)"
+        )
     ko, kb = jax.random.split(key)
     idx = jax.random.randint(ko, (), 0, bank.n_objects)
     mesh = bank_mesh(bank, idx)

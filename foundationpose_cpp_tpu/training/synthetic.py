@@ -425,6 +425,18 @@ def _train(
 ) -> Any:
     import optax
 
+    spc_eff = max(1, tcfg.steps_per_call)
+    steps_run = -(-steps // spc_eff) * spc_eff
+    if steps_run != steps and log is not None:
+        # a ragged tail chunk would change the scan length and recompile
+        # the ENTIRE jitted train step (minutes for fused-render steps)
+        # for a handful of steps of work; a few extra steps at the end of
+        # the cosine decay are benign by comparison
+        log(
+            f"rounding steps {steps} -> {steps_run} (multiple of "
+            f"steps_per_call={spc_eff}; avoids a tail-chunk recompile)"
+        )
+    steps = steps_run
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, tcfg.lr, tcfg.warmup_steps, max(steps, tcfg.warmup_steps + 1)
     )

@@ -80,6 +80,7 @@ def evaluate(
 
     root = jax.random.PRNGKey(seed + 777)
     rows = []
+    failures = 0
     for i in range(n_scenes):
         key = jax.random.fold_in(root, i)
         gt = np.asarray(tr.sample_scene_poses(key, 1, tcfg))[0]
@@ -96,6 +97,12 @@ def evaluate(
             use_fused=use_fused,
         )
         best = np.asarray(best)
+        if not bool(np.asarray(ok)) or not np.isfinite(best).all():
+            # register_step poisons the pose with NaN on failure (empty
+            # mask / translation guess); without this skip one failed scene
+            # would NaN every mean metric below
+            failures += 1
+            continue
         # track from the registered pose on the same frame (refine_itr=3
         # emulates 3 tracked frames of a static scene)
         tracked = np.asarray(
@@ -116,6 +123,14 @@ def evaluate(
                 "tracked_adds": metrics.adds_error(tracked, gt, pts),
             }
         )
+    if not rows:
+        # n_scenes == 0 or every scene failed: report that instead of
+        # IndexError-ing on rows[0] after a long training run
+        return {
+            "n_scenes": n_scenes,
+            "register_failures": failures,
+            "diameter": float(asset.diameter),
+        }
     out = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
     for k in ("register_rot_deg", "tracked_rot_deg"):
         out[k + "_median"] = float(np.median([r[k] for r in rows]))
@@ -124,6 +139,7 @@ def evaluate(
         sum(r["register_rot_deg"] > 45.0 for r in rows)
     )
     out["n_scenes"] = n_scenes
+    out["register_failures"] = failures
     out["diameter"] = float(asset.diameter)
     return out
 
