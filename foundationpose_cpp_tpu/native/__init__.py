@@ -149,6 +149,13 @@ class FrameRing:
         self._dtype = np.dtype(dtype)
         self._bytes = int(np.prod(self._shape)) * self._dtype.itemsize
         self._ring = lib.fp_ring_create(self._bytes, capacity)
+        if not self._ring:
+            # the native side rejects capacity/frame_bytes <= 0 (a zero
+            # capacity would SIGFPE on the first push) and alloc failure
+            raise ValueError(
+                f"fp_ring_create failed (frame_bytes={self._bytes}, "
+                f"capacity={capacity}); both must be positive"
+            )
 
     def push(self, frame: np.ndarray) -> None:
         buf = np.ascontiguousarray(frame, dtype=self._dtype)

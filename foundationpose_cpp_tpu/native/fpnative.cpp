@@ -5,14 +5,18 @@
 // EasyDeployTool). The TPU compute path here is JAX/XLA/Pallas, but the
 // host-side runtime keeps native equivalents:
 //
-//  - fp_parse_obj / fp_parse_ply: allocation-lean OBJ/PLY parsers with the
-//    same semantics as the Python meshio fallback (vertex dedup on the full
-//    (v, vt, vn) triple = assimp JoinIdenticalVertices; fan triangulation =
+//  - fp_parse_obj: allocation-lean OBJ parser with the same semantics as
+//    the Python meshio fallback (vertex dedup on the full (v, vt, vn)
+//    triple = assimp JoinIdenticalVertices; fan triangulation =
 //    aiProcess_Triangulate). Big scanned meshes (BundleSDF outputs, README
-//    config #4) parse ~30x faster than the pure-Python path.
-//  - fp_mesh_diameter: exact max pairwise distance via convex hull
-//    (quickhull) + hull-vertex scan; replaces the reference's O(V^2) loop
-//    (assimp_mesh_loader.cpp:47-60) which is minutes for 100k-vertex scans.
+//    config #4) parse ~30x faster than the pure-Python path. PLY still
+//    goes through the Python parser (no native fast path).
+//  - fp_mesh_diameter: O(V) farthest-pair HEURISTIC (13-direction extreme
+//    seeding + hill climb, exact-verified only for V <= 4096). The
+//    production loader uses the Python mesh_diameter (convex hull + exact
+//    pairwise scan) instead; this entry point exists as the native option
+//    for callers that prefer speed over the exactness guarantee. Both
+//    replace the reference's O(V^2) loop (assimp_mesh_loader.cpp:47-60).
 //  - fp_ring_*: a single-producer single-consumer frame ring for the async
 //    tracking loop (the reference's async_pipeline/IPipelinePackage role):
 //    a camera thread deposits frames while the TPU thread consumes the
@@ -136,12 +140,18 @@ std::string parse_mtl_map_kd(const std::string& mtl_path) {
 
 extern "C" {
 
-// Parse an OBJ file. Returns nullptr on failure.
-FpMesh* fp_parse_obj(const char* path) {
+// Parse an OBJ file. Returns nullptr on failure. No C++ exception may
+// escape the C ABI into ctypes (that would terminate the process), so the
+// whole body is wrapped.
+FpMesh* fp_parse_obj(const char* path) try {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
   fseek(f, 0, SEEK_END);
   long size = ftell(f);
+  if (size < 0) {  // e.g. a directory named foo.obj opens but ftell fails
+    fclose(f);
+    return nullptr;
+  }
   fseek(f, 0, SEEK_SET);
   std::string buf;
   buf.resize((size_t)size);
@@ -157,7 +167,7 @@ FpMesh* fp_parse_obj(const char* path) {
   std::unordered_map<Key, int32_t, KeyHash> dedup;
   dedup.reserve(1 << 16);
   std::string texpath;
-  bool any_t = false, any_n = false;
+  bool any_t = false, any_n = false, miss_n = false;
 
   const char* p = buf.data();
   const char* e = p + buf.size();
@@ -234,6 +244,7 @@ FpMesh* fp_parse_obj(const char* path) {
             nrm.push_back(0.0f);
             nrm.push_back(0.0f);
             nrm.push_back(0.0f);
+            miss_n = true;
           }
           dedup.emplace(k, idx);
         }
@@ -244,10 +255,15 @@ FpMesh* fp_parse_obj(const char* path) {
         faces.push_back(poly[i]);
         faces.push_back(poly[i + 1]);
       }
-    } else if (line_end - p > 7 && strncmp(p, "mtllib ", 7) == 0 &&
-               texpath.empty()) {
+    } else if (line_end - p > 7 && strncmp(p, "mtllib", 6) == 0 &&
+               (p[6] == ' ' || p[6] == '\t') && texpath.empty()) {
+      // tag may be followed by space OR tab (both are OBJ whitespace; the
+      // Python fallback's line.split() accepts both)
       std::string name(p + 7, (size_t)(line_end - p - 7));
-      while (!name.empty() && (name.back() == '\r' || name.back() == ' '))
+      while (!name.empty() && (name.front() == ' ' || name.front() == '\t'))
+        name.erase(name.begin());
+      while (!name.empty() && (name.back() == '\r' || name.back() == ' ' ||
+                               name.back() == '\t'))
         name.pop_back();
       texpath = parse_mtl_map_kd(dirname_of(path) + "/" + name);
     }
@@ -255,7 +271,12 @@ FpMesh* fp_parse_obj(const char* path) {
   }
 
   if (pos.empty() || faces.empty()) return nullptr;
-  return make_mesh(pos, nrm, uv, faces, any_n, any_t, texpath);
+  // match the Python fallback's rule: normals count only when EVERY output
+  // vertex carried one (a partial set would leave zero-normals that shade
+  // black); uvs count when ANY vertex carried one (missing ones are (0,0))
+  return make_mesh(pos, nrm, uv, faces, any_n && !miss_n, any_t, texpath);
+} catch (...) {
+  return nullptr;  // bad_alloc/length_error must not cross into ctypes
 }
 
 void fp_free_mesh(FpMesh* m) {
@@ -267,10 +288,11 @@ void fp_free_mesh(FpMesh* m) {
   delete m;
 }
 
-// Exact mesh diameter: gift-wrap free — iterative farthest-pair refinement
-// seeded from extreme points, finished with a hull-free double sweep over
-// candidate extremes. For exactness on adversarial inputs we fall back to
-// a blocked O(V^2) pass when V is small.
+// Farthest-pair HEURISTIC (not exact in general): extreme points along 13
+// directions seed a hill climb of alternating farthest-point sweeps; a
+// full O(V^2) verification runs only for V <= 4096, so large adversarial
+// inputs can return an underestimate. The production mesh loader uses the
+// exact Python mesh_diameter (hull + pairwise scan); see the header note.
 double fp_mesh_diameter(const float* pos, int64_t v) {
   if (v < 2) return 0.0;
   // extremes along 13 directions form a candidate set whose pairwise max is
@@ -349,7 +371,10 @@ struct FpRing {
   std::atomic<int64_t> dropped;
 };
 
-FpRing* fp_ring_create(int64_t frame_bytes, int64_t capacity) {
+FpRing* fp_ring_create(int64_t frame_bytes, int64_t capacity) try {
+  // capacity 0 would make every push/pop compute `x % 0` (SIGFPE); a
+  // negative value corrupts the allocation size
+  if (frame_bytes <= 0 || capacity <= 0) return nullptr;
   auto* r = new FpRing();
   r->storage = new uint8_t[frame_bytes * capacity];
   r->seq = new std::atomic<uint64_t>[capacity];
@@ -360,6 +385,8 @@ FpRing* fp_ring_create(int64_t frame_bytes, int64_t capacity) {
   r->tail.store(0);
   r->dropped.store(0);
   return r;
+} catch (...) {
+  return nullptr;  // bad_alloc must not cross into ctypes
 }
 
 void fp_ring_destroy(FpRing* r) {

@@ -128,11 +128,26 @@ def make_sharded_register(
             )
             return best, poses, scores, ok
 
-    return jax.jit(
+    jitted = jax.jit(
         fn,
         in_shardings=(repl, repl, repl, repl, repl, hyp, hyp),
         out_shardings=(repl, hyp, hyp, repl),
     )
+    n_dev = device_mesh.size
+
+    def checked(params_r, params_s, rgb, depth, mask, rot_grid, hyp_valid):
+        # fail here with a plain message instead of deep inside GSPMD with
+        # a cryptic partitioning error (use pad_grid to round the grid up)
+        n = rot_grid.shape[0]
+        if n % n_dev or hyp_valid.shape[0] != n:
+            raise ValueError(
+                f"[sharding] rot_grid ({n}) must be a multiple of the mesh "
+                f"size ({n_dev}) with hyp_valid the same length "
+                f"({hyp_valid.shape[0]}); use pad_grid(grid, {n_dev})"
+            )
+        return jitted(params_r, params_s, rgb, depth, mask, rot_grid, hyp_valid)
+
+    return checked
 
 
 def make_sharded_track_batch(
@@ -185,6 +200,18 @@ def make_sharded_track_batch(
                 net_cfg, rasterize_fn,
             )
 
-    return jax.jit(
+    jitted = jax.jit(
         fn, in_shardings=(repl, repl, repl, inst), out_shardings=inst
     )
+    n_dev = device_mesh.size
+
+    def checked(params_r, rgb, depth, poses):
+        if poses.shape[0] % n_dev:
+            raise ValueError(
+                f"[sharding] instance count ({poses.shape[0]}) must be a "
+                f"multiple of the mesh size ({n_dev}); pad with identity "
+                f"poses and drop the extras"
+            )
+        return jitted(params_r, rgb, depth, poses)
+
+    return checked

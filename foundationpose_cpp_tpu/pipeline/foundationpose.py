@@ -251,7 +251,10 @@ class FoundationPose:
             # the fused megakernel is the TPU production path; the unfused
             # op composition is the exact/portable path used elsewhere
             use_fused_renderer = jax.default_backend() == "tpu"
-        self._use_fused = bool(use_fused_renderer)
+        # keep the value verbatim: "interpret" is a documented mode (the
+        # fused kernel in Pallas interpret mode, for CPU hosts); bool()
+        # would coerce it to True and try to lower the real TPU kernel
+        self._use_fused = use_fused_renderer
         if auto_subdivide is None:
             # The texture-fidelity policy (meshio/subdivide.py
             # subdivide_adaptive) matters exactly when the FUSED renderer is
@@ -394,6 +397,36 @@ class FoundationPose:
     # ------------------------------------------------------------------
     # public API
 
+    def _run_register(self, rgb, depth, mask, target_name, refine_itr):
+        """Shared Register plumbing (cache key, bucket padding, dispatch);
+        returns the raw (best, poses, scores, ok) device tuple. The key /
+        bucket / padding policy lives HERE only -- register and
+        register_with_scores differ solely in what they read back."""
+        self._check_inputs(rgb, depth, mask, target_name)
+        h, w = rgb.shape[:2]
+        bucket = self._bucket_for(h, w)
+        key = ("register", target_name, bucket or (h, w), int(refine_itr),
+               bucket is not None)
+        if key not in self._register_cache:
+            self._register_cache[key] = self._register_program(
+                target_name, int(refine_itr), bucketed=bucket is not None
+            )
+        program = self._register_cache[key]
+        if bucket is not None:
+            bh, bw = bucket
+            return program(
+                self._refiner_params, self._scorer_params,
+                jnp.asarray(self._pad_to(rgb, bh, bw)),
+                jnp.asarray(self._pad_to(depth, bh, bw)),
+                jnp.asarray(self._pad_to(mask, bh, bw)),
+                self._rot_grid, jnp.int32(h), jnp.int32(w),
+            )
+        return program(
+            self._refiner_params, self._scorer_params,
+            jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(mask),
+            self._rot_grid,
+        )
+
     def register(
         self,
         rgb: np.ndarray,
@@ -408,34 +441,9 @@ class FoundationPose:
         Raises RuntimeError when the mask is empty / has no valid depth (the
         reference's sampler CHECK_STATE failure path).
         """
-        self._check_inputs(rgb, depth, mask, target_name)
-        h, w = rgb.shape[:2]
-        bucket = self._bucket_for(h, w)
-        key = ("register", target_name, bucket or (h, w), int(refine_itr),
-               bucket is not None)
-        if key not in self._register_cache:
-            self._register_cache[key] = self._register_program(
-                target_name, int(refine_itr), bucketed=bucket is not None
-            )
-        program = self._register_cache[key]
-        if bucket is not None:
-            bh, bw = bucket
-            best, _, _, _ = program(
-                self._refiner_params, self._scorer_params,
-                jnp.asarray(self._pad_to(rgb, bh, bw)),
-                jnp.asarray(self._pad_to(depth, bh, bw)),
-                jnp.asarray(self._pad_to(mask, bh, bw)),
-                self._rot_grid, jnp.int32(h), jnp.int32(w),
-            )
-        else:
-            best, _, _, _ = program(
-                self._refiner_params,
-                self._scorer_params,
-                jnp.asarray(rgb),
-                jnp.asarray(depth),
-                jnp.asarray(mask),
-                self._rot_grid,
-            )
+        best, _, _, _ = self._run_register(
+            rgb, depth, mask, target_name, refine_itr
+        )
         # ONE blocking D2H: the pose itself. Failure rides in-band as a
         # NaN-poisoned pose (register_step), so no separate bool(ok) sync
         # (~26 ms/call on a tunneled chip, one dispatch stall everywhere).
@@ -451,29 +459,9 @@ class FoundationPose:
         self, rgb, depth, mask, target_name, refine_itr: int = 1
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Register returning (best_pose, all refined poses, scores)."""
-        self._check_inputs(rgb, depth, mask, target_name)
-        h, w = rgb.shape[:2]
-        bucket = self._bucket_for(h, w)
-        key = ("register", target_name, bucket or (h, w), int(refine_itr),
-               bucket is not None)
-        if key not in self._register_cache:
-            self._register_cache[key] = self._register_program(
-                target_name, int(refine_itr), bucketed=bucket is not None
-            )
-        if bucket is not None:
-            bh, bw = bucket
-            best, poses, scores, _ = self._register_cache[key](
-                self._refiner_params, self._scorer_params,
-                jnp.asarray(self._pad_to(rgb, bh, bw)),
-                jnp.asarray(self._pad_to(depth, bh, bw)),
-                jnp.asarray(self._pad_to(mask, bh, bw)),
-                self._rot_grid, jnp.int32(h), jnp.int32(w),
-            )
-        else:
-            best, poses, scores, _ = self._register_cache[key](
-                self._refiner_params, self._scorer_params,
-                jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(mask), self._rot_grid,
-            )
+        best, poses, scores, _ = self._run_register(
+            rgb, depth, mask, target_name, refine_itr
+        )
         # one batched transfer instead of three sequential blocking syncs
         best, poses, scores = jax.device_get((best, poses, scores))
         if np.isnan(best[0, 0]):
@@ -531,23 +519,48 @@ class FoundationPose:
         self._check_inputs(rgb, depth, None, target_name)
         hyp_poses = np.asarray(hyp_poses, dtype=np.float32)
         n = hyp_poses.shape[0]
-        key = ("track_batch", target_name, rgb.shape[:2], int(refine_itr), n)
+        h, w = rgb.shape[:2]
+        bucket = self._bucket_for(h, w)
+        key = ("track_batch", target_name, bucket or (h, w),
+               int(refine_itr), n, bucket is not None)
         if key not in self._track_cache:
             mesh = self._meshes[target_name]
 
-            @jax.jit
-            def program(params_r, rgb, depth, poses):
-                return track_step(
-                    mesh, params_r, rgb, depth, poses, self._K,
-                    int(refine_itr), self._cfg, self._net_cfg,
-                    self._rasterize_fn, use_fused=self._use_fused,
-                )
+            if bucket is not None:
+                # same size-bucket policy as track()/register(): pad to the
+                # bucket, pass the real extents as dynamic scalars, so a
+                # stream of varying camera sizes shares one executable
+                @jax.jit
+                def program(params_r, rgb, depth, poses, h_, w_):
+                    return track_step(
+                        mesh, params_r, rgb, depth, poses, self._K,
+                        int(refine_itr), self._cfg, self._net_cfg,
+                        self._rasterize_fn, use_fused=self._use_fused,
+                        image_hw=(h_, w_),
+                    )
+            else:
+                @jax.jit
+                def program(params_r, rgb, depth, poses):
+                    return track_step(
+                        mesh, params_r, rgb, depth, poses, self._K,
+                        int(refine_itr), self._cfg, self._net_cfg,
+                        self._rasterize_fn, use_fused=self._use_fused,
+                    )
 
             self._track_cache[key] = program
-        out = self._track_cache[key](
-            self._refiner_params, jnp.asarray(rgb), jnp.asarray(depth),
-            jnp.asarray(hyp_poses),
-        )
+        if bucket is not None:
+            bh, bw = bucket
+            out = self._track_cache[key](
+                self._refiner_params,
+                jnp.asarray(self._pad_to(rgb, bh, bw)),
+                jnp.asarray(self._pad_to(depth, bh, bw)),
+                jnp.asarray(hyp_poses), jnp.int32(h), jnp.int32(w),
+            )
+        else:
+            out = self._track_cache[key](
+                self._refiner_params, jnp.asarray(rgb), jnp.asarray(depth),
+                jnp.asarray(hyp_poses),
+            )
         return np.asarray(out)
 
     def make_packed_tracker(

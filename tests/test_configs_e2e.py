@@ -144,19 +144,10 @@ def test_fused_and_exact_paths_agree_on_register():
         )
 
     exact = build(False).register(rgb, depth, mask, "sphere")
-    # interpret-mode fused path (slow; tiny mesh keeps it tractable)
-    import foundationpose_cpp_tpu.ops.render_fused as rf
-    orig = rf.render_views_fused
-
-    def interp_fused(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    rf.render_views_fused = interp_fused
-    try:
-        fused = build(True).register(rgb, depth, mask, "sphere")
-    finally:
-        rf.render_views_fused = orig
+    # the public interpret mode: the fused kernel run interpreted on CPU
+    # (slow; tiny mesh keeps it tractable) -- also pins that the class
+    # passes the string through instead of bool-coercing it to True
+    fused = build("interpret").register(rgb, depth, mask, "sphere")
 
     # same scene, same weights: the two render paths differ only by
     # vertex-vs-pixel texture sampling; the chosen pose should be close

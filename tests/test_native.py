@@ -102,3 +102,51 @@ def test_frame_ring_threaded():
         final = ring.pop_latest()
         seen_last = final is not None and float(final[0][0, 0]) == float(n - 1)
     assert seen_last
+
+
+def test_native_partial_normals_match_python_rule(tmp_path):
+    """A mesh where only SOME faces carry vn indices must report normals
+    absent (the Python rule: all-or-nothing), so the loader recomputes them
+    instead of shading the bare vertices black with zero normals."""
+    obj = tmp_path / "partial.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "f 1//1 2//2 3//3\n"
+        "f 1 2 4\n"  # no normals on this face
+    )
+    got = native.parse_obj_native(str(obj))
+    assert got is not None
+    _, _, nrm, _, _ = got
+    assert nrm is None  # matches ml._parse_obj's all() rule
+    _, _, pnrm, _, _ = ml._parse_obj(obj)
+    assert pnrm is None
+
+
+def test_native_mtllib_tab_separated(tmp_path):
+    """OBJ whitespace includes tabs; 'mtllib\\tfile.mtl' must still resolve
+    the texture (the Python fallback's line.split() accepts it)."""
+    (tmp_path / "m.mtl").write_text("newmtl m\nmap_Kd tex.png\n")
+    obj = tmp_path / "tabbed.obj"
+    obj.write_text(
+        "mtllib\tm.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+    )
+    got = native.parse_obj_native(str(obj))
+    assert got is not None
+    *_, texpath = got
+    assert texpath and texpath.endswith("tex.png")
+
+
+def test_native_parse_rejects_directory(tmp_path):
+    """A directory named foo.obj opens via fopen but must fail cleanly
+    (ftell returns -1), not crash the process."""
+    d = tmp_path / "dir.obj"
+    d.mkdir()
+    assert native.parse_obj_native(str(d)) is None
+
+
+def test_frame_ring_rejects_zero_capacity():
+    """capacity=0 would be modulo-by-zero (SIGFPE) on the first push."""
+    with pytest.raises(ValueError, match="capacity"):
+        native.FrameRing((16,), np.uint8, capacity=0)
