@@ -866,8 +866,8 @@ def render_views_fused(
     p2_window: int | None = None,
     debug_prepass_only: bool = False,
     p1_group: int = 1,
-    p1_livelist: bool = False,
-    p2_dynamic: bool = False,
+    p1_livelist: bool = True,
+    p2_dynamic: bool = True,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
