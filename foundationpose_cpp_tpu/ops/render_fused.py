@@ -603,7 +603,10 @@ def _fused_kernel(
             assert 32 % p1_group == 0
             for g0 in range(0, n_chunks, p1_group):
                 gsz = min(p1_group, n_chunks - g0)
-                gmask = ((1 << gsz) - 1) << (g0 % 32)
+                # int32 wraparound cast: a group starting at bit 24 has a
+                # mask with bit 31 set, which overflows a Python->int32
+                # literal (255 << 24 > 2**31 - 1)
+                gmask = int(np.uint32(((1 << gsz) - 1) << (g0 % 32)).astype(np.int32))
                 gword = bits_ref[0, t_lin, g0 // 32]
 
                 @pl.when((gword & gmask) != 0)
@@ -779,17 +782,21 @@ def _fused_kernel(
             table = jnp.concatenate([cf, at], axis=0)  # (33, p2w)
         attr_resolve(table, slo, 0)
 
-    def attr_body(ci, carry):
-        lo = ci * chunk
-        for sub in range(chunk // p2w):
-            slo = lo + sub * p2w
+    # window-major: for p2w <= chunk this visits the same set as the old
+    # per-chunk sub-window nest; for p2w > chunk (superwindow) one visit
+    # covers several phase-1 chunks. The face tables are padded to a
+    # multiple of max(chunk, p2w), so every window slice is full-width.
+    n_windows = (n_chunks * chunk) // p2w
 
-            @pl.when(
-                jnp.logical_not(debug_phase1_only)
-                & (smin < slo + p2w) & (smax >= slo)
-            )
-            def _(slo=slo):
-                attr_window(slo)
+    def attr_body(wi, carry):
+        slo = wi * p2w
+
+        @pl.when(
+            jnp.logical_not(debug_phase1_only)
+            & (smin < slo + p2w) & (smax >= slo)
+        )
+        def _():
+            attr_window(slo)
 
         return carry
 
@@ -808,7 +815,7 @@ def _fused_kernel(
 
         jax.lax.fori_loop(smin // p2w, smax // p2w + 1, attr_window_dyn, 0)
     else:
-        jax.lax.fori_loop(0, n_chunks, attr_body, 0)
+        jax.lax.fori_loop(0, n_windows, attr_body, 0)
     st = state_f_ref[1:9]
     r, g, b = st[0:1], st[1:2], st[2:3]
     x, y, z, d = st[3:4], st[4:5], st[5:6], st[6:7]
@@ -879,17 +886,32 @@ def render_views_fused(
     f = tables.num_faces
     assert img_h % TILE_H == 0 and img_w % TILE_W == 0
     assert chunk in (32, 64, 128, 256, 512), "packed depth key needs 2**k chunk"
-    if p2_window is not None and (
-        p2_window > chunk or chunk % p2_window != 0
-    ):
-        # phase 2 visits `chunk // p2_window` sub-windows per chunk; a
-        # non-divisor would silently skip the tail faces of every chunk
-        # (winners there render black with fg=1)
-        raise ValueError(
-            f"p2_window ({p2_window}) must divide chunk ({chunk})"
+    if p2_window is not None and p2_window != chunk:
+        # phase 2 visits p2_window-wide face windows. The width may be a
+        # DIVISOR of chunk (narrower extraction dots) or a MULTIPLE of it
+        # (superwindow: phase-1 culls at fine chunks while phase 2 pays
+        # fewer, fatter visits -- chunk 128 phase 1 is ~8 ms faster than
+        # 256 but phase 2 at 128 costs ~10 ms more, so 128/256 beats
+        # either uniform choice). Any other width would silently skip
+        # tail faces (winners there render black with fg=1), and Mosaic
+        # needs lane-aligned (128) power-of-two slice offsets.
+        ok_align = p2_window >= 128 and not (p2_window & (p2_window - 1))
+        ok_ratio = (
+            chunk % p2_window == 0 if p2_window < chunk
+            else p2_window % chunk == 0
         )
+        if not (ok_align and ok_ratio):
+            raise ValueError(
+                f"p2_window ({p2_window}) must be a power of two >= 128 "
+                f"that divides or is a multiple of chunk ({chunk})"
+            )
     if p1_group > 1 and 32 % p1_group != 0:
         raise ValueError(f"p1_group ({p1_group}) must divide 32")
+    if chunk < 128 or chunk & (chunk - 1):
+        # phase 2 slices the attribute table at chunk granularity along
+        # lanes; Mosaic requires lane-dimension offsets provably aligned
+        # to 128, and the packed depth|pos key needs a power of two
+        raise ValueError(f"chunk ({chunk}) must be a power of two >= 128")
     if p1_livelist and p1_group > 1:
         # the livelist path replaces the bitmask walk entirely; a silent
         # override would let a sweep record claim a p1_group it never ran
@@ -1038,7 +1060,9 @@ def render_views_fused(
     x1 = jnp.where(valid, x1, -inf)
     y1 = jnp.where(valid, y1, -inf)
 
-    pad_f = (-f) % chunk
+    # pad to the larger of chunk / p2_window so both phase-1 chunks and
+    # phase-2 windows tile the table exactly (superwindow mode pads more)
+    pad_f = (-f) % max(chunk, p2_window or chunk)
 
     def padf(p, value=0.0):
         return (

@@ -164,12 +164,37 @@ def main() -> None:
                                           "p2_dynamic": True}),
         ("corner_dyn_both", tbl_corner, {"p1_livelist": True,
                                          "p2_dynamic": True}),
+        ("corner_livelist", tbl_corner, {"p1_livelist": True}),
+        ("corner_p2dyn", tbl_corner, {"p2_dynamic": True}),
+        ("corner_livelist_p1", tbl_corner, {"p1_livelist": True,
+                                            "debug_phase1_only": True}),
+        ("corner_c128_dyn_both", tbl_corner, {"chunk": 128,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True}),
+        # phase-2 SUPERWINDOW (p2_window a multiple of chunk): chunk-128
+        # phase 1 (tighter culling, measured 41.6 vs 49.7 ms) + fat
+        # 256-wide phase-2 visits (fewer fixed costs than 128-wide)
+        ("corner_c128_w256", tbl_corner, {"chunk": 128, "p2_window": 256}),
+        ("corner_c128_w256_p2dyn", tbl_corner, {"chunk": 128,
+                                                "p2_window": 256,
+                                                "p2_dynamic": True}),
+        ("corner_c128_w512_p2dyn", tbl_corner, {"chunk": 128,
+                                                "p2_window": 512,
+                                                "p2_dynamic": True}),
+        ("patch_c128_w256", tbl_patch, {"chunk": 128, "p2_window": 256}),
+        ("patch_c128_w256_p2dyn", tbl_patch, {"chunk": 128,
+                                              "p2_window": 256,
+                                              "p2_dynamic": True}),
     ]
     if args.only:
         names = set(args.only.split(","))
         variants = [v for v in variants if v[0] in names]
 
     for name, tables, kw in variants:
+        # the module defaults now enable the dynamic-trip knobs; the sweep
+        # compares variants, so every run pins both knobs explicitly (legacy
+        # variant names measure the STATIC scheduling they were written for)
+        kw = {"p1_livelist": False, "p2_dynamic": False, **kw}
         t_c0 = time.perf_counter()
         loop = make_loop(tables, **kw)
         carry = loop(poses)
