@@ -290,10 +290,28 @@ def signed_volume(verts: np.ndarray, faces: np.ndarray) -> float:
     )
 
 
+def auto_kernel_knobs(num_faces: int) -> dict:
+    """Per-mesh production schedule for the megakernel.
+
+    Swept on a v5e at 252 views x 160x160 (tools/sweep_fused.py,
+    round 4): 64-face phase-1 chunks cull measurably tighter than 128/256
+    (phase 1 alone 36.7 vs 39.5/49.7 ms on the 6016-face sphere) and a
+    512-wide phase-2 superwindow amortizes the extraction dot's fixed cost
+    (59.8 ms total vs 79.8 at the old chunk-256 defaults, patch mode).
+    The dynamic-trip knobs (livelist phase 1, winner-range phase 2) are
+    the module defaults already. Scan-scale meshes (~28k faces) keep the
+    same shape -- the livelist makes the chunk count a per-tile trip
+    count, not a loop bound.
+    """
+    del num_faces  # one schedule wins across swept sizes (6k-28k faces)
+    return {"chunk": 64, "p2_window": 512}
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["face_verts", "face_normals", "face_colors", "face_patch"],
-    meta_fields=["num_faces", "diameter", "backface_cull_ok", "patch_k"],
+    meta_fields=["num_faces", "diameter", "backface_cull_ok", "patch_k",
+                 "kernel_chunk", "kernel_p2_window"],
 )
 @dataclasses.dataclass(frozen=True)
 class FusedMeshTables:
@@ -322,6 +340,11 @@ class FusedMeshTables:
     backface_cull_ok: bool = False
     face_patch: jnp.ndarray | None = None  # (6 + 3*pk^2 + pad, F)
     patch_k: int = 0
+    # production kernel schedule for this mesh (auto_kernel_knobs); None =
+    # use render_views_fused's signature defaults. Scheduling only -- the
+    # rendered image is knob-invariant (pinned by tests).
+    kernel_chunk: int | None = None
+    kernel_p2_window: int | None = None
 
     @staticmethod
     def from_asset(
@@ -386,6 +409,7 @@ class FusedMeshTables:
         conv = (lambda a: np.asarray(a, np.float32)) if as_numpy else (
             lambda a: jnp.asarray(a, jnp.float32)
         )
+        knobs = auto_kernel_knobs(int(fv.shape[0]))
         return FusedMeshTables(
             face_verts=conv(fv),
             face_normals=conv(fn),
@@ -395,6 +419,8 @@ class FusedMeshTables:
             backface_cull_ok=cull_ok,
             face_patch=None if patch_rows is None else conv(patch_rows),
             patch_k=pk,
+            kernel_chunk=knobs["chunk"],
+            kernel_p2_window=knobs["p2_window"],
         )
 
 
@@ -429,6 +455,7 @@ def _fused_kernel(
     p1_group=1,
     p1_livelist=False,
     p2_dynamic=False,
+    p1_bf16=False,
 ):
     """Control flow is static fori + @pl.when by default (see module
     docstring); pixel state lives in VMEM scratch because predicated bodies
@@ -493,8 +520,17 @@ def _fused_kernel(
     state_i_ref[0:1] = jnp.full((1, LANES), _BIG_I, jnp.int32)
     state_i_ref[1:2] = jnp.zeros((1, LANES), jnp.int32)
 
-    # basis rows (fx, fy, 1) for evaluating affine quantities via MXU dots
-    basis = jnp.concatenate([fx, fy, jnp.ones((1, LANES), jnp.float32)], axis=0)
+    # basis rows (fx, fy, 1) for evaluating affine quantities via MXU dots.
+    # p1_bf16: the phase-1 plane-eval dot is K=12-bound on the MXU (the
+    # contraction dim is 12 of a 128-wide tile, so the f32 pass runs at
+    # <10% utilization); bf16 operands double the per-tile rate at the
+    # cost of ~2^-9 relative edge/depth error -- sub-1/16-pixel silhouette
+    # jitter, comparable to CudaRaster's 4-bit subpixel snap
+    # (Constants.hpp:23). f32 accumulation is kept either way.
+    p1_dt = jnp.bfloat16 if p1_bf16 else jnp.float32
+    basis = jnp.concatenate(
+        [fx, fy, jnp.ones((1, LANES), jnp.float32)], axis=0
+    ).astype(p1_dt)
 
     # pos-in-chunk iota, hoisted out of both loops (constant)
     lane_span = QS if quadrant_split else LANES
@@ -507,7 +543,7 @@ def _fused_kernel(
     def _block_diag_basis(qs):
         blocks = []
         for k in range(4):
-            col = [jnp.zeros((3, lane_span), jnp.float32)] * 4
+            col = [jnp.zeros((3, lane_span), p1_dt)] * 4
             col[k] = basis[:, qs : qs + lane_span]
             blocks.append(jnp.concatenate(col, axis=0))  # (12, span)
         return jnp.concatenate(blocks, axis=1)  # (12, 4*span)
@@ -523,7 +559,7 @@ def _fused_kernel(
         # an always-negative edge constant, so no degeneracy guard is
         # needed.
         evall = jax.lax.dot_general(
-            cf[:, 0:12], basis12[q],
+            cf[:, 0:12].astype(p1_dt), basis12[q],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (chunk, 4*span): [a0 | a1 | a2 | zw]
@@ -852,7 +888,7 @@ def _fused_kernel(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
         "quadrant_split", "p2_window", "debug_prepass_only", "p1_group",
-        "p1_livelist", "p2_dynamic",
+        "p1_livelist", "p2_dynamic", "p1_bf16",
     ),
 )
 def render_views_fused(
@@ -875,8 +911,14 @@ def render_views_fused(
     p1_group: int = 1,
     p1_livelist: bool = True,
     p2_dynamic: bool = True,
+    p1_bf16: bool = False,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
+
+    p1_bf16 runs the phase-1 plane-eval dot with bf16 operands (f32
+    accumulation): ~2x the MXU rate for sub-1/16-pixel silhouette jitter
+    -- a PRECISION knob, not a scheduling knob; the image may differ at
+    razor-edge pixels vs the f32 default.
 
     clip_mats: (N, 4, 4) mesh-frame -> crop-NDC matrices (pose_clip_matrix).
     Output is shaded, vertically flipped, thresholded/diameter-normalized:
@@ -885,7 +927,17 @@ def render_views_fused(
     n = poses.shape[0]
     f = tables.num_faces
     assert img_h % TILE_H == 0 and img_w % TILE_W == 0
-    assert chunk in (32, 64, 128, 256, 512), "packed depth key needs 2**k chunk"
+    if chunk not in (32, 64, 128, 256, 512):
+        raise ValueError(
+            f"chunk ({chunk}) must be a power of two in 32..512 "
+            "(the packed depth key's pos mask is chunk-1)"
+        )
+    if p2_window is None and chunk < 128:
+        # phase 2 slices the face tables along LANES at p2_window
+        # granularity and Mosaic requires lane offsets provably aligned to
+        # 128 -- sub-128 phase-1 chunks therefore pair with a 128-wide
+        # phase-2 superwindow (p2_window % chunk == 0 keeps windows exact)
+        p2_window = 128
     if p2_window is not None and p2_window != chunk:
         # phase 2 visits p2_window-wide face windows. The width may be a
         # DIVISOR of chunk (narrower extraction dots) or a MULTIPLE of it
@@ -907,11 +959,6 @@ def render_views_fused(
             )
     if p1_group > 1 and 32 % p1_group != 0:
         raise ValueError(f"p1_group ({p1_group}) must divide 32")
-    if chunk < 128 or chunk & (chunk - 1):
-        # phase 2 slices the attribute table at chunk granularity along
-        # lanes; Mosaic requires lane-dimension offsets provably aligned
-        # to 128, and the packed depth|pos key needs a power of two
-        raise ValueError(f"chunk ({chunk}) must be a power of two >= 128")
     if p1_livelist and p1_group > 1:
         # the livelist path replaces the bitmask walk entirely; a silent
         # override would let a sweep record claim a p1_group it never ran
@@ -1176,6 +1223,7 @@ def render_views_fused(
         p1_group=p1_group,
         p1_livelist=p1_livelist,
         p2_dynamic=p2_dynamic,
+        p1_bf16=p1_bf16,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)

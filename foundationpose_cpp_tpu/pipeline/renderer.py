@@ -91,7 +91,23 @@ class MeshConstants:
                 np.asarray(asset.faces),
             )
             if float(err.max(initial=0.0)) > subdivide_tol:
-                texture_patch_k = 4
+                # corner sampling misses texture detail somewhere: pick the
+                # CHEAPEST patch size within tolerance. pk drives the
+                # phase-2 extraction-dot height (27 rows at pk2 vs 75 at
+                # pk4, swept ~9% of render time on a v5e), so a smooth-
+                # but-not-flat texture gets pk2 and only genuinely sharp
+                # content pays for pk4.
+                from foundationpose_cpp_tpu.ops.render_fused import (
+                    face_patch_error,
+                )
+
+                err2 = face_patch_error(
+                    asset.texture, np.asarray(asset.texcoords),
+                    np.asarray(asset.faces), pk=2,
+                )
+                texture_patch_k = (
+                    2 if float(err2.max(initial=0.0)) <= subdivide_tol else 4
+                )
             else:
                 # corner sampling is already within tolerance on every
                 # face; corner-mode subdivision uses the SAME metric and
@@ -229,11 +245,16 @@ def render_branch(
         # mode (CPU tests of fused-only paths, e.g. the mesh-bank trainer).
         from foundationpose_cpp_tpu.ops.render_fused import render_views_fused
 
+        knobs = {}
+        if mesh.fused.kernel_chunk is not None:
+            knobs["chunk"] = mesh.fused.kernel_chunk
+        if mesh.fused.kernel_p2_window is not None:
+            knobs["p2_window"] = mesh.fused.kernel_p2_window
         return render_views_fused(
             mesh.fused, poses, clip_mat, ch, cw,
             w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-            interpret=use_fused == "interpret",
+            interpret=use_fused == "interpret", **knobs,
         )
 
     clip = transforms.transform_points_homogeneous(clip_mat, mesh.vertices)

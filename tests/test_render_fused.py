@@ -209,12 +209,13 @@ def test_kernel_knobs_are_output_invariant():
                 got, base, err_msg=f"chunk={chunk} split={split}"
             )
     # the phase-1 superchunk gate (one scalar test skips a group of dead
-    # chunk bodies) must also be a pure scheduling knob
+    # chunk bodies) must also be a pure scheduling knob; it is the static
+    # alternative to the (default) livelist, so that knob goes off here
     for p1_group in (4, 8):
         got = np.asarray(
             render_views_fused(
                 tables, poses, clipm, CROP, CROP, interpret=True,
-                chunk=64, p1_group=p1_group,
+                chunk=64, p1_group=p1_group, p1_livelist=False,
             )
         )
         np.testing.assert_array_equal(

@@ -71,6 +71,12 @@ def main() -> None:
     tbl_patch = render_fused.FusedMeshTables.from_asset(
         sphere, texture_patch_k=4
     )
+    tbl_patch2 = render_fused.FusedMeshTables.from_asset(
+        sphere, texture_patch_k=2
+    )
+    tbl_patch3 = render_fused.FusedMeshTables.from_asset(
+        sphere, texture_patch_k=3
+    )
     print(f"mesh: {tbl_corner.num_faces} faces", flush=True)
 
     gt = synthetic.default_pose(tz=0.6)
@@ -185,6 +191,77 @@ def main() -> None:
         ("patch_c128_w256_p2dyn", tbl_patch, {"chunk": 128,
                                               "p2_window": 256,
                                               "p2_dynamic": True}),
+        # round-4 frontier: sub-128 phase-1 chunks (tighter culling; phase 2
+        # runs a >=128 superwindow for Mosaic lane alignment) x livelist x
+        # wide phase-2 windows, and SMALLER TEXEL PATCHES (pk drives the
+        # phase-2 extraction-dot height: 75 rows at pk4, 39 at pk3, 27 at
+        # pk2 vs 33 corner) -- fidelity-gated per mesh by the auto policy
+        ("patch_c128_w512_dyn", tbl_patch, {"chunk": 128, "p2_window": 512,
+                                            "p1_livelist": True,
+                                            "p2_dynamic": True}),
+        ("patch_c128_w256_dynboth", tbl_patch, {"chunk": 128,
+                                                "p2_window": 256,
+                                                "p1_livelist": True,
+                                                "p2_dynamic": True}),
+        ("patch_c64_w256_dyn", tbl_patch, {"chunk": 64, "p2_window": 256,
+                                           "p1_livelist": True,
+                                           "p2_dynamic": True}),
+        ("patch_c64_w512_dyn", tbl_patch, {"chunk": 64, "p2_window": 512,
+                                           "p1_livelist": True,
+                                           "p2_dynamic": True}),
+        ("patch_c32_w256_dyn", tbl_patch, {"chunk": 32, "p2_window": 256,
+                                           "p1_livelist": True,
+                                           "p2_dynamic": True}),
+        ("corner_c64_w512_dyn", tbl_corner, {"chunk": 64, "p2_window": 512,
+                                             "p1_livelist": True,
+                                             "p2_dynamic": True}),
+        ("corner_c128_w512_dyn", tbl_corner, {"chunk": 128, "p2_window": 512,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True}),
+        ("corner_c64_p1_live", tbl_corner, {"chunk": 64,
+                                            "p1_livelist": True,
+                                            "debug_phase1_only": True}),
+        ("corner_c128_p1_live", tbl_corner, {"chunk": 128,
+                                             "p1_livelist": True,
+                                             "debug_phase1_only": True}),
+        ("patch2_c128_w512_dyn", tbl_patch2, {"chunk": 128, "p2_window": 512,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True}),
+        ("patch3_c128_w512_dyn", tbl_patch3, {"chunk": 128, "p2_window": 512,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True}),
+        ("patch2_c64_w512_dyn", tbl_patch2, {"chunk": 64, "p2_window": 512,
+                                             "p1_livelist": True,
+                                             "p2_dynamic": True}),
+        ("corner_c64_w1024_dyn", tbl_corner, {"chunk": 64, "p2_window": 1024,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True}),
+        ("patch2_c64_w1024_dyn", tbl_patch2, {"chunk": 64, "p2_window": 1024,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True}),
+        ("patch4_c64_w1024_dyn", tbl_patch, {"chunk": 64, "p2_window": 1024,
+                                             "p1_livelist": True,
+                                             "p2_dynamic": True}),
+        ("corner_c32_w512_dyn", tbl_corner, {"chunk": 32, "p2_window": 512,
+                                             "p1_livelist": True,
+                                             "p2_dynamic": True}),
+        # bf16 phase-1 plane eval (PRECISION knob: ~2x MXU rate for
+        # sub-1/16-px silhouette jitter)
+        ("patch4_c64_w512_bf16", tbl_patch, {"chunk": 64, "p2_window": 512,
+                                             "p1_livelist": True,
+                                             "p2_dynamic": True,
+                                             "p1_bf16": True}),
+        ("corner_c64_w512_bf16", tbl_corner, {"chunk": 64, "p2_window": 512,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True,
+                                              "p1_bf16": True}),
+        ("corner_c64_p1_bf16", tbl_corner, {"chunk": 64, "p1_livelist": True,
+                                            "p1_bf16": True,
+                                            "debug_phase1_only": True}),
+        ("patch4_c128_w512_bf16", tbl_patch, {"chunk": 128, "p2_window": 512,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True,
+                                              "p1_bf16": True}),
     ]
     if args.only:
         names = set(args.only.split(","))
@@ -195,17 +272,21 @@ def main() -> None:
         # compares variants, so every run pins both knobs explicitly (legacy
         # variant names measure the STATIC scheduling they were written for)
         kw = {"p1_livelist": False, "p2_dynamic": False, **kw}
-        t_c0 = time.perf_counter()
-        loop = make_loop(tables, **kw)
-        carry = loop(poses)
-        _ = np.asarray(carry)  # compile + settle
-        compile_s = time.perf_counter() - t_c0
-        t0 = time.perf_counter()
-        _ = np.asarray(loop(poses))
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
-        rec = {"variant": name, "ms": round(ms, 2),
-               "compile_s": round(compile_s, 1),
-               "faces": int(tables.num_faces), **kw}
+        try:
+            t_c0 = time.perf_counter()
+            loop = make_loop(tables, **kw)
+            carry = loop(poses)
+            _ = np.asarray(carry)  # compile + settle
+            compile_s = time.perf_counter() - t_c0
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(poses))
+            ms = (time.perf_counter() - t0) / args.iters * 1e3
+            rec = {"variant": name, "ms": round(ms, 2),
+                   "compile_s": round(compile_s, 1),
+                   "faces": int(tables.num_faces), **kw}
+        except Exception as e:  # record the failure, keep sweeping
+            rec = {"variant": name, "error": f"{type(e).__name__}: {e}",
+                   "faces": int(tables.num_faces), **kw}
         print(json.dumps(rec), flush=True)
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
