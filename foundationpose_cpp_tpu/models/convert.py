@@ -371,34 +371,31 @@ def load_torch_checkpoint(path: str, allow_pickle: bool = False) -> dict[str, Ar
 
 
 def load_onnx_initializers(path: str) -> dict[str, Array]:
-    """Read named initializers from an ONNX export of the torch modules.
+    """Recover a named state dict from an ONNX export of the torch modules.
 
-    torch.onnx keeps parameter names for unfused weights; positionally-named
-    graphs (constant-folded exports) are rejected with a clear message.
+    Parses the protobuf directly (models/onnx_reader.py -- no `onnx`
+    package needed) and reconstructs canonical parameter names by graph
+    traversal (models/onnx_recover.py): name-preserving exports pass
+    through unchanged, while constant-folded exports (anonymous
+    ``onnx::Conv_*``/``onnx::MatMul_*`` initializers, Constant-inlined
+    tensors) are renamed from the known trunk/encoder structure. Folded
+    exports carry no separate BatchNorm tensors; their convs arrive
+    pre-folded, which `convert_state_dict` handles via its optional-BN
+    path.
     """
+    from foundationpose_cpp_tpu.models import onnx_reader, onnx_recover
+
     try:
-        import onnx
-        from onnx import numpy_helper
-    except ImportError as e:  # pragma: no cover - env without onnx
+        graph = onnx_reader.parse_model(path)
+    except onnx_reader.OnnxParseError as e:
+        raise ConversionError(f"{path}: {e}") from e
+    try:
+        return onnx_recover.recover_state_dict(graph)
+    except onnx_recover.RecoveryError as e:
         raise ConversionError(
-            "the 'onnx' package is not installed in this environment; "
-            "convert from the torch .pth checkpoint instead"
+            f"{path}: cannot recover parameter names from this graph "
+            f"({e}); convert from the torch .pth checkpoint instead"
         ) from e
-    graph = onnx.load(path).graph
-    out = {}
-    anonymous = []
-    for init in graph.initializer:
-        if re.match(r"^(onnx::|/)|^\d+$", init.name):
-            anonymous.append(init.name)
-        else:
-            out[init.name] = numpy_helper.to_array(init)
-    if anonymous and not out:
-        raise ConversionError(
-            f"{path}: initializers are positionally named "
-            f"(e.g. {anonymous[:3]}); this export lost parameter names -- "
-            "convert from the torch .pth checkpoint instead"
-        )
-    return out
 
 
 def convert_file(

@@ -1,0 +1,331 @@
+"""Recover a named torch state dict from a FoundationPose ONNX graph.
+
+Real ``torch.onnx.export`` outputs of the published refiner/scorer nets
+(reference README.md:72, converted by tools/cvt_onnx2trt.bash) do NOT carry
+a clean parameter->initializer mapping:
+
+  * constant folding (the export default) bakes BatchNorm into conv
+    weights and renames them positionally (``onnx::Conv_514``), and
+    transposes linear weights into anonymous MatMul operands
+    (``onnx::MatMul_553``);
+  * tensors the exporter chose to inline (BN running stats, whole encoder
+    layers) live in ``Constant`` nodes or behind ``Identity`` chains, not
+    in ``graph.initializer`` at all.
+
+models/convert.py is deliberately strict-by-name, so this module bridges
+the gap by GRAPH TRAVERSAL: it walks the ops in topological order and
+assigns canonical torch names from the known forward structure of
+``RefineNet`` / ``ScoreNetMultiPair`` (models/torch_ref.py, mirroring
+NVlabs learning/models/*):
+
+  * the 9-conv trunk in execution order (encodeA.0/1/2, encodeAB.0/1/2),
+    with any following BatchNormalization claiming that conv's bn name;
+  * the sinusoidal table: a 3-D float constant consumed by Add/Slice;
+  * transformer layers: LayerNormalization number j is norm{j%2+1} of
+    layer j//2, and those LN anchors also place the constant-operand
+    MatMul/Gemm stream -- a parameterized matmul encountered while
+    ln_idx//2 == g belongs to layer g (in_proj fires before the group's
+    first LN, out_proj/linear1/linear2 between them), where it claims
+    the first still-unassigned parameter of the group whose expected
+    shape matches (in_proj (3D, D) -> out_proj (D, D) -> linear1 (*, D)
+    -> linear2 (D, *)); QK^T and attn@V have no constant operand and are
+    skipped. Layer groups that begin after the token-mean ReduceMean are
+    the scorer's ``att_cross`` block;
+  * (1|3)-row matmuls after the ReduceMean are the heads, in output
+    order (trans, rot / scores).
+
+Already-named tensors keep their names (a name-preserving export passes
+through unchanged); recovered names never overwrite them. MatMul operands
+are transposed back to torch (out, in) layout; Gemm honors transB. The
+result feeds convert.convert_state_dict, whose strict shape/structure
+checks reject any wrong guess loudly.
+
+Limitation: LayerNorm must appear as fused LayerNormalization nodes
+(opset >= 17); decomposed-LN exports fail with a clear error instead of
+guessing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from foundationpose_cpp_tpu.models.onnx_reader import OnnxGraph, OnnxNode
+
+_ANON = re.compile(r"^(onnx::|/)|^\d+$")
+
+# trunk convs in _Backbone.embed execution order (torch_ref.py:103-142);
+# value = the BN module that follows each conv in the unfolded graph
+_CONV_CHAIN = [
+    ("encodeA.0.0", "encodeA.0.1"),
+    ("encodeA.1.0", "encodeA.1.1"),
+    ("encodeA.2.conv1", "encodeA.2.bn1"),
+    ("encodeA.2.conv2", "encodeA.2.bn2"),
+    ("encodeAB.0.conv1", "encodeAB.0.bn1"),
+    ("encodeAB.0.conv2", "encodeAB.0.bn2"),
+    ("encodeAB.1.0", "encodeAB.1.1"),
+    ("encodeAB.2.conv1", "encodeAB.2.bn1"),
+    ("encodeAB.2.conv2", "encodeAB.2.bn2"),
+]
+
+class RecoveryError(RuntimeError):
+    pass
+
+
+def _is_named(name: str) -> bool:
+    return bool(name) and not _ANON.match(name)
+
+
+class _Graph:
+    """Constant resolution + simple dataflow queries over an OnnxGraph."""
+
+    def __init__(self, g: OnnxGraph):
+        self.g = g
+        self.producer: dict[str, OnnxNode] = {}
+        for node in g.nodes:
+            for o in node.outputs:
+                self.producer[o] = node
+        self.consumers: dict[str, list[OnnxNode]] = {}
+        for node in g.nodes:
+            for i in node.inputs:
+                self.consumers.setdefault(i, []).append(node)
+
+    def const(self, name: str) -> tuple[np.ndarray, str] | None:
+        """Resolve `name` to (array, source_name) through Identity/Constant
+        chains; source_name is the initializer's own name ('' for inlined
+        Constants)."""
+        seen = 0
+        while True:
+            if name in self.g.initializers:
+                return self.g.initializers[name], name
+            node = self.producer.get(name)
+            if node is None:
+                return None
+            if node.op_type == "Constant":
+                val = node.attrs.get("value")
+                if isinstance(val, np.ndarray):
+                    return val, ""
+                return None
+            if node.op_type in ("Identity", "Cast"):
+                name = node.inputs[0]
+                seen += 1
+                if seen > 32:
+                    return None
+                continue
+            if node.op_type == "Transpose":
+                inner = self.const(node.inputs[0])
+                if inner is None:
+                    return None
+                arr = inner[0]
+                perm = node.attrs.get(
+                    "perm", list(range(arr.ndim))[::-1]
+                )
+                # the value is layout-rewritten, so the source name no
+                # longer describes it -- consumers restore torch layout
+                # from THEIR orientation and use the structural name
+                return np.transpose(arr, perm), ""
+            return None
+
+    def bias_of(self, out_name: str) -> tuple[np.ndarray, str] | None:
+        """If `out_name`'s sole consumer is Add with a constant operand,
+        return that constant (a MatMul-pattern linear bias)."""
+        cons = self.consumers.get(out_name, [])
+        if len(cons) != 1 or cons[0].op_type != "Add":
+            return None
+        add = cons[0]
+        for i in add.inputs:
+            if i == out_name:
+                continue
+            c = self.const(i)
+            if c is not None and c[0].ndim == 1:
+                return c
+        return None
+
+
+def recover_state_dict(graph: OnnxGraph) -> dict[str, np.ndarray]:
+    """Named torch-layout state dict from an ONNX graph (see module doc)."""
+    G = _Graph(graph)
+    out: dict[str, np.ndarray] = {}
+
+    def put(name: str, arr: np.ndarray, src: str) -> None:
+        # a name-preserving export wins over the structural guess
+        key = src if _is_named(src) else name
+        if key in out and not np.array_equal(out[key], arr):
+            raise RecoveryError(
+                f"two different tensors recovered for '{key}'"
+            )
+        out[key] = np.asarray(arr)
+
+    # a name-preserving export: merge every properly-named float
+    # initializer wholesale (traversal then only fills the gaps, e.g.
+    # tensors the exporter inlined as Constants)
+    for name, arr in graph.initializers.items():
+        if _is_named(name) and np.issubdtype(arr.dtype, np.floating):
+            out[name] = arr
+
+    conv_idx = -1
+    reduce_mean_seen = False
+    ln_idx = 0  # LayerNormalization counter; ln_idx//2 = current layer group
+    group_base: dict[int, str] = {}  # layer group -> name base
+    # group -> ordered [(param, bias, shape_pred)] still unassigned
+    group_remaining: dict[int, list] = {}
+    n_conv = len(_CONV_CHAIN)
+    heads: list[tuple[np.ndarray, tuple | None, str]] = []
+    embed_dim: int | None = None
+
+    def base_for(group: int) -> str:
+        if group not in group_base:
+            group_base[group] = (
+                "att_cross" if reduce_mean_seen
+                else f"encoder.layers.{group}"
+            )
+        return group_base[group]
+
+    def remaining_for(group: int) -> list:
+        if group not in group_remaining:
+            d = embed_dim
+            group_remaining[group] = [
+                ("self_attn.in_proj_weight", "self_attn.in_proj_bias",
+                 lambda s: s == (3 * d, d)),
+                ("self_attn.out_proj.weight", "self_attn.out_proj.bias",
+                 lambda s: s == (d, d)),
+                ("linear1.weight", "linear1.bias",
+                 lambda s: s[1] == d),
+                ("linear2.weight", "linear2.bias",
+                 lambda s: s[0] == d),
+            ]
+        return group_remaining[group]
+
+    for node in graph.nodes:
+        op = node.op_type
+        if op == "Conv":
+            conv_idx += 1
+            if conv_idx >= n_conv:
+                raise RecoveryError(
+                    f"more than {n_conv} Conv nodes -- not the published "
+                    "trunk; cannot assign names structurally"
+                )
+            base = _CONV_CHAIN[conv_idx][0]
+            w = G.const(node.inputs[1])
+            if w is None:
+                raise RecoveryError(f"{base}: conv weight is not constant")
+            put(f"{base}.weight", w[0], w[1])
+            if len(node.inputs) > 2:
+                b = G.const(node.inputs[2])
+                if b is not None:
+                    put(f"{base}.bias", b[0], b[1])
+        elif op == "BatchNormalization":
+            if conv_idx < 0:
+                raise RecoveryError("BatchNormalization before any Conv")
+            bn = _CONV_CHAIN[conv_idx][1]
+            for slot, field in zip(
+                node.inputs[1:5],
+                ("weight", "bias", "running_mean", "running_var"),
+            ):
+                c = G.const(slot)
+                if c is None:
+                    raise RecoveryError(f"{bn}.{field}: not constant")
+                put(f"{bn}.{field}", c[0], c[1])
+        elif op == "ReduceMean":
+            # the token mean-pool ends the encoder stack; layer groups
+            # starting after it belong to the scorer's att_cross block.
+            # (Decomposed LN also uses ReduceMean, but fused-LN graphs --
+            # the supported kind -- contain exactly the one pool.)
+            reduce_mean_seen = True
+        elif op == "LayerNormalization":
+            base = base_for(ln_idx // 2)
+            norm = f"norm{ln_idx % 2 + 1}"
+            ln_idx += 1
+            s = G.const(node.inputs[1])
+            b = G.const(node.inputs[2]) if len(node.inputs) > 2 else None
+            if s is None or b is None:
+                raise RecoveryError(f"{base}.{norm}: params not constant")
+            put(f"{base}.{norm}.weight", s[0], s[1])
+            put(f"{base}.{norm}.bias", b[0], b[1])
+        elif op in ("MatMul", "Gemm"):
+            wb = G.const(node.inputs[1]) if len(node.inputs) > 1 else None
+            if wb is None:
+                continue  # activation x activation (QK^T / attn@V)
+            w, src = wb
+            if w.ndim != 2:
+                continue
+            if embed_dim is None:
+                # trunk must precede the transformer; embed_dim = out
+                # channels of the encodeAB.1 conv (torch_ref.py:116-120)
+                key = f"{_CONV_CHAIN[6][0]}.weight"
+                if key not in out:
+                    raise RecoveryError(
+                        "constant matmul before the trunk completed"
+                    )
+                embed_dim = int(out[key].shape[0])
+            if op == "MatMul":
+                w_t = np.ascontiguousarray(w.T)  # (in, out) -> torch (out, in)
+                bias = G.bias_of(node.outputs[0])
+            else:  # Gemm: attrs transB; C operand is the bias
+                w_t = (
+                    w if node.attrs.get("transB", 0)
+                    else np.ascontiguousarray(w.T)
+                )
+                bias = (
+                    G.const(node.inputs[2])
+                    if len(node.inputs) > 2 else None
+                )
+            if w_t.shape[0] in (1, 3) and reduce_mean_seen:
+                heads.append((w_t, bias, src))
+                continue
+            group = ln_idx // 2
+            base = base_for(group)
+            rem = remaining_for(group)
+            hit = next(
+                (i for i, (_, _, pred) in enumerate(rem)
+                 if pred(w_t.shape)), None,
+            )
+            if hit is None:
+                raise RecoveryError(
+                    f"{base}: no unassigned parameter matches a "
+                    f"{w_t.shape} constant matmul operand"
+                )
+            pname, bname, _ = rem.pop(hit)
+            put(f"{base}.{pname}", w_t, src)
+            if bias is not None:
+                put(f"{base}.{bname}", bias[0], bias[1])
+
+    if conv_idx + 1 != n_conv:
+        raise RecoveryError(
+            f"found {conv_idx + 1} Conv nodes, expected {n_conv}"
+        )
+
+    # ---- pos_embed: 3-D float constant consumed by Add/Slice -------------
+    if "pos_embed.pe" not in out:
+        for node in graph.nodes:
+            if node.op_type not in ("Add", "Slice"):
+                continue
+            for i in node.inputs[:2]:
+                c = G.const(i)
+                if c is not None and c[0].ndim == 3 and c[0].shape[0] == 1 \
+                        and np.issubdtype(c[0].dtype, np.floating):
+                    put("pos_embed.pe", c[0], c[1])
+                    break
+            if "pos_embed.pe" in out:
+                break
+
+    # ---- heads: output order trans, rot (refiner) / scores (scorer) ------
+    for (w, bias, src), hname in zip(heads, _head_names(heads)):
+        put(f"{hname}.0.weight", w, src)
+        if bias is not None:
+            bsrc = bias[1] if _is_named(bias[1]) else ""
+            put(f"{hname}.0.bias", bias[0], bsrc)
+    return out
+
+
+def _head_names(heads) -> list[str]:
+    """trans/rot for a 2-head 3-dim net, score for a 1-head 1-dim net."""
+    dims = [w.shape[0] for w, _, _ in heads]
+    if dims == [3, 3]:
+        return ["trans_head", "rot_head"]
+    if dims == [1]:
+        return ["score_head"]
+    if all(_is_named(s) for _, _, s in heads):
+        return ["?"] * len(heads)  # names pass through `src` anyway
+    raise RecoveryError(f"unrecognized head output dims {dims}")

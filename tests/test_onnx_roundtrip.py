@@ -1,0 +1,177 @@
+"""Real-ONNX ingestion round trip: torch.onnx.export -> convert -> parity.
+
+The reference consumes the published nets as ONNX files
+(reference tools/cvt_onnx2trt.bash:3-15, README.md:72). These tests produce
+REAL `torch.onnx.export` files of the torch_ref replicas -- both the
+name-preserving kind (do_constant_folding=False) and the production-default
+constant-folded kind whose initializers are positionally named
+(``onnx::Conv_514``) and partially inlined as Constant nodes -- then feed
+them through the actual ingestion path (models/onnx_reader protobuf parse,
+models/onnx_recover graph-traversal naming, models/convert strict mapping)
+and assert the JAX forward matches the torch module that produced the file.
+
+This is the in-environment proof that the published engine exports convert
+on arrival: every naming scheme the exporter can produce round-trips
+through a real .onnx file, not just through an in-memory state dict.
+
+The environment has no `onnx` package; the TorchScript exporter serializes
+the ModelProto itself and only imports `onnx` in a post-pass that inlines
+custom onnxscript functions (a no-op for these graphs), which the export
+helper stubs out.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from foundationpose_cpp_tpu.models import (  # noqa: E402
+    checkpoint,
+    convert,
+    networks,
+    torch_ref,
+)
+
+C_IN, W1, W2, D, HEADS, FFN, CROP = 6, 8, 16, 32, 2, 24, 32
+N_LAYERS = 2  # >1 so exporter-inlined (Constant-node) layer params occur
+
+
+def _cfg(cross=False):
+    return networks.NetConfig(
+        in_channels=C_IN, width1=W1, width2=W2, embed_dim=D,
+        num_heads=HEADS, ffn_dim=FFN, num_encoder_layers=N_LAYERS,
+        crop_hw=CROP, cross_attention=cross, dtype=jnp.float32,
+    )
+
+
+def _randomize(model, seed):
+    """Trained-checkpoint stand-in: every tensor non-trivial and DISTINCT
+    (fresh BN stats are all-zeros/ones, which the exporter deduplicates
+    into aliased initializers -- real checkpoints never look like that).
+    pos_embed stays sinusoidal: it is a fixed buffer, and the converter
+    pins it against the analytic table."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for k, v in model.state_dict().items():
+            if "num_batches" in k or "pos_embed" in k:
+                continue
+            if "running_var" in k:
+                v.copy_(torch.rand(v.shape, generator=g) * 2 + 0.2)
+            else:
+                v.copy_(torch.randn(v.shape, generator=g) * 0.1)
+
+
+def _export(model, path, fold, outputs):
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda mb, co: mb
+    try:
+        torch.onnx.export(
+            model,
+            (torch.randn(2, C_IN, CROP, CROP), torch.randn(2, C_IN, CROP, CROP)),
+            path,
+            dynamo=False,
+            do_constant_folding=fold,
+            input_names=["render_input", "transf_input"],
+            output_names=list(outputs),
+            dynamic_axes={"render_input": {0: "n"}, "transf_input": {0: "n"}},
+        )
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
+def _inputs(n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(-1, 1, size=(n, CROP, CROP, C_IN)).astype(np.float32)
+    b = rng.uniform(-1, 1, size=(n, CROP, CROP, C_IN)).astype(np.float32)
+    return a, b
+
+
+def _torch_out(model, a, b):
+    with torch.no_grad():
+        out = model(
+            torch.from_numpy(a).permute(0, 3, 1, 2),
+            torch.from_numpy(b).permute(0, 3, 1, 2),
+        )
+    return out if isinstance(out, tuple) else (out,)
+
+
+@pytest.mark.parametrize("fold", [False, True], ids=["named", "folded"])
+def test_refiner_onnx_roundtrip(tmp_path, fold):
+    torch.manual_seed(0)
+    model = torch_ref.build_refine_net(_cfg())
+    _randomize(model, seed=7)
+    path = str(tmp_path / "refiner.onnx")
+    _export(model, path, fold, ("trans", "rot"))
+
+    sd = convert.load_onnx_initializers(path)
+    params, cfg = convert.convert_state_dict(sd, "refiner", _cfg())
+    a, b = _inputs()
+    t_trans, t_rot = _torch_out(model, a, b)
+    out = networks.apply_refiner(params, jnp.asarray(a), jnp.asarray(b), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["trans"]), t_trans.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rot"]), t_rot.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_scorer_onnx_roundtrip_folded(tmp_path):
+    """Constant-folded scorer: anonymous conv/matmul names + att_cross."""
+    torch.manual_seed(1)
+    model = torch_ref.build_score_net(_cfg(cross=True))
+    _randomize(model, seed=11)
+    path = str(tmp_path / "scorer.onnx")
+    _export(model, path, True, ("scores",))
+
+    sd = convert.load_onnx_initializers(path)
+    assert any(k.startswith("att_cross") for k in sd)
+    params, cfg = convert.convert_state_dict(sd, "scorer", _cfg(cross=True))
+    a, b = _inputs(n=4, seed=3)
+    (t_scores,) = _torch_out(model, a, b)
+    out = networks.apply_scorer(params, jnp.asarray(a), jnp.asarray(b), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), t_scores.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_convert_file_onnx_end_to_end(tmp_path):
+    """The tools/convert_onnx.py path: .onnx in, npz checkpoint out, with
+    NetConfig inferred from the recovered graph itself."""
+    torch.manual_seed(2)
+    model = torch_ref.build_refine_net(_cfg())
+    _randomize(model, seed=13)
+    path = str(tmp_path / "refiner_hwc.onnx")
+    _export(model, path, True, ("trans", "rot"))
+
+    out_npz = str(tmp_path / "refiner.npz")
+    params, cfg = convert.convert_file(
+        path, "refiner", out_path=out_npz, crop_hw=CROP
+    )
+    assert (cfg.width1, cfg.width2, cfg.embed_dim, cfg.ffn_dim) == (
+        W1, W2, D, FFN,
+    )
+    assert cfg.num_encoder_layers == N_LAYERS
+    loaded = checkpoint.load_params(out_npz)
+    a, b = _inputs(n=2, seed=5)
+    o1 = networks.apply_refiner(params, jnp.asarray(a), jnp.asarray(b), cfg)
+    o2 = networks.apply_refiner(loaded, jnp.asarray(a), jnp.asarray(b), cfg)
+    np.testing.assert_array_equal(np.asarray(o1["trans"]), np.asarray(o2["trans"]))
+    # bf16-policy forward (the runtime default) agrees with torch loosely
+    t_trans, _ = _torch_out(model, a, b)
+    np.testing.assert_allclose(
+        np.asarray(o1["trans"], np.float32), t_trans.numpy(),
+        rtol=0.1, atol=0.05,
+    )
+
+
+def test_corrupted_onnx_rejected(tmp_path):
+    path = str(tmp_path / "junk.onnx")
+    with open(path, "wb") as f:
+        f.write(b"\x99" * 64)
+    with pytest.raises(convert.ConversionError):
+        convert.load_onnx_initializers(path)
