@@ -371,7 +371,19 @@ def load_mesh(
         else:
             pos, uv, nrm, faces, tex_from_mtl = _parse_obj(path)
     elif suffix == ".ply":
-        pos, uv, nrm, faces, tex_from_mtl = _parse_ply(path)
+        parsed = None
+        try:  # C++ fast path (native/fpnative.cpp fp_parse_ply)
+            from foundationpose_cpp_tpu import native
+
+            parsed = native.parse_ply_native(str(path))
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            pos, uv, nrm, faces, tex_from_mtl = parsed
+            if tex_from_mtl and not pathlib.Path(tex_from_mtl).exists():
+                tex_from_mtl = None  # match _parse_ply's existence gate
+        else:
+            pos, uv, nrm, faces, tex_from_mtl = _parse_ply(path)
     else:
         raise ValueError(f"[MeshLoader] unsupported mesh format: {suffix}")
 

@@ -354,3 +354,64 @@ def write_obj(asset: MeshAsset, path: str, texture_path: str | None = None) -> N
         )
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def write_ply(
+    asset: MeshAsset,
+    path: str,
+    texture_path: str | None = None,
+    binary: bool = True,
+    with_normals: bool = True,
+    with_uvs: bool = True,
+) -> None:
+    """Write an asset as PLY (ascii or binary_little_endian) for loader
+    tests and the scan-pipeline bench -- BundleSDF reconstructions arrive
+    as PLY (reference test_data/download.md mesh layout)."""
+    import pathlib
+    import struct
+
+    v = np.asarray(asset.vertices, np.float32)
+    n = np.asarray(asset.vertex_normals, np.float32)
+    t = np.asarray(asset.texcoords, np.float32)
+    f = np.asarray(asset.faces, np.int32)
+    header = ["ply"]
+    header.append(
+        "format binary_little_endian 1.0" if binary else "format ascii 1.0"
+    )
+    if texture_path is not None:
+        from PIL import Image
+
+        Image.fromarray((asset.texture * 255).astype(np.uint8)).save(
+            texture_path
+        )
+        header.append(
+            f"comment TextureFile {pathlib.Path(texture_path).name}"
+        )
+    header.append(f"element vertex {v.shape[0]}")
+    header += ["property float x", "property float y", "property float z"]
+    if with_normals:
+        header += [
+            "property float nx", "property float ny", "property float nz",
+        ]
+    if with_uvs:
+        header += ["property float u", "property float v"]
+    header.append(f"element face {f.shape[0]}")
+    header.append("property list uchar int vertex_indices")
+    header.append("end_header")
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(header) + "\n").encode("ascii"))
+        cols = [v]
+        if with_normals:
+            cols.append(n)
+        if with_uvs:
+            cols.append(t)
+        rec = np.concatenate(cols, axis=1).astype("<f4")
+        if binary:
+            fh.write(rec.tobytes())
+            for face in f:
+                fh.write(struct.pack("<B3i", 3, *[int(i) for i in face]))
+        else:
+            for row in rec:
+                fh.write((" ".join(repr(float(x)) for x in row) + "\n").encode())
+            for face in f:
+                fh.write(f"3 {face[0]} {face[1]} {face[2]}\n".encode())

@@ -71,6 +71,8 @@ def load_library() -> ctypes.CDLL | None:
             return None
         lib.fp_parse_obj.restype = ctypes.POINTER(_FpMesh)
         lib.fp_parse_obj.argtypes = [ctypes.c_char_p]
+        lib.fp_parse_ply.restype = ctypes.POINTER(_FpMesh)
+        lib.fp_parse_ply.argtypes = [ctypes.c_char_p]
         lib.fp_free_mesh.argtypes = [ctypes.POINTER(_FpMesh)]
         lib.fp_mesh_diameter.restype = ctypes.c_double
         lib.fp_mesh_diameter.argtypes = [
@@ -96,10 +98,23 @@ def parse_obj_native(path: str):
     Returns (positions (V,3), uvs (V,2)|None, normals (V,3)|None,
     faces (F,3), texture_path|None) or None if unavailable/failed.
     """
+    return _parse_native(path, "fp_parse_obj")
+
+
+def parse_ply_native(path: str):
+    """Parse an ascii/binary_little_endian PLY with the C++ parser.
+
+    Same return contract as parse_obj_native; None on unsupported shapes
+    (big-endian, list-typed vertex properties) so the caller can fall back
+    to the Python parser."""
+    return _parse_native(path, "fp_parse_ply")
+
+
+def _parse_native(path: str, fn_name: str):
     lib = load_library()
     if lib is None:
         return None
-    mp = lib.fp_parse_obj(os.fsencode(str(path)))
+    mp = getattr(lib, fn_name)(os.fsencode(str(path)))
     if not mp:
         return None
     try:

