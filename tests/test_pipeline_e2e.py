@@ -187,3 +187,60 @@ def test_convert_pose_mesh2bbox_api(scene, model):
     assert out.shape == (4, 4)
     dims = model.object_dimension("cube")
     np.testing.assert_allclose(np.sort(dims), [0.1, 0.1, 0.1], rtol=1e-4)
+
+
+def test_packed_tracker_matches_track(scene, model):
+    """make_packed_tracker (the AsyncTracker fast path: one u8 buffer of
+    rgb bytes + bitcast f32 depth bytes, one H2D, zero D2H) must refine
+    identically to the public track() API on the same frame."""
+    _, _, pose, rgb, depth, mask = scene
+    step = model.make_packed_tracker("cube", (H, W))
+    packed = np.concatenate([
+        np.asarray(rgb, np.uint8).reshape(-1),
+        np.frombuffer(
+            np.ascontiguousarray(depth, np.float32).tobytes(), np.uint8
+        ),
+    ])
+    got = np.asarray(
+        step(jnp.asarray(packed), jnp.asarray(pose, jnp.float32))
+    )
+    want = np.asarray(model.track(rgb, depth, pose, "cube"))
+    assert got.shape == (4, 4)
+    np.testing.assert_allclose(got, want.reshape(4, 4), atol=1e-6)
+
+
+def test_packed_tracker_odd_dims_bitcast():
+    """Odd HxW: the depth byte region starts at a non-4-aligned offset of
+    the packed buffer (h*w*3 odd), exercising the u8->f32 bitcast path on
+    unaligned geometry. Parity vs track() on the same random frame."""
+    h, w = 37, 53  # h*w*3 = 5883, not a multiple of 4
+    cube = procedural.textured_cube(size=0.1)
+    k_odd = np.array(
+        [[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]], np.float32
+    )
+    m = create_foundationpose_model(
+        networks.init_refiner(0, NET_CFG),
+        networks.init_scorer(1, NET_CFG),
+        [cube],
+        k_odd,
+        max_input_image_h=h,
+        max_input_image_w=w,
+        config=CFG,
+        net_config=NET_CFG,
+    )
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    depth = rng.uniform(0.3, 0.7, size=(h, w)).astype(np.float32)
+    pose = synthetic.default_pose(tz=0.5)
+    step = m.make_packed_tracker("cube", (h, w))
+    packed = np.concatenate([
+        rgb.reshape(-1),
+        np.frombuffer(depth.tobytes(), np.uint8),
+    ])
+    assert packed.nbytes == h * w * 7
+    got = np.asarray(
+        step(jnp.asarray(packed), jnp.asarray(pose, jnp.float32))
+    )
+    want = np.asarray(m.track(rgb, depth, pose, "cube")).reshape(4, 4)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.isfinite(got).all()
