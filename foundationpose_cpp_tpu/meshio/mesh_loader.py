@@ -80,12 +80,25 @@ def mesh_diameter(vertices: np.ndarray) -> float:
         hull_pts = pts[np.unique(ConvexHull(pts, qhull_options="QJ").vertices)]
     except Exception:  # degenerate (planar/collinear) meshes
         hull_pts = pts
-    # Blockwise exact pairwise max via scipy's C cdist. (A (H,3)@(3,H) GEMM
-    # formulation is pathologically slow in OpenBLAS for tiny-k shapes --
-    # measured 47 s vs 0.5 s for H~10k on a noisy scan hull.) Blocks stay
-    # small: a noisy 105k-vert scan has an ~18k-point hull, and 2048-row
-    # blocks (280 MB f64 temporaries each) thrashed the allocator for 30 s
-    # where 512-row blocks take 1.7 s.
+    # Exact pairwise max over the hull. Native fast path when the values
+    # are f32-representable (every load_mesh asset is -- positions arrive
+    # as f32): the threaded C++ sweep (native/fpnative.cpp
+    # fp_diameter_exact) covers an ~18k-point scan hull in tens of ms and
+    # computes the same f64 distances over the same f32 coordinates.
+    if np.asarray(vertices).dtype == np.float32:
+        from foundationpose_cpp_tpu import native
+
+        d_native = native.diameter_exact_native(
+            hull_pts.astype(np.float32)
+        )
+        if d_native is not None:
+            return d_native
+    # Fallback: blockwise exact pairwise max via scipy's C cdist. (A
+    # (H,3)@(3,H) GEMM formulation is pathologically slow in OpenBLAS for
+    # tiny-k shapes -- measured 47 s vs 0.5 s for H~10k on a noisy scan
+    # hull.) Blocks stay small: a noisy 105k-vert scan has an ~18k-point
+    # hull, and 2048-row blocks (280 MB f64 temporaries each) thrashed the
+    # allocator for 30 s where 512-row blocks take 1.7 s.
     from scipy.spatial.distance import cdist
 
     d = 0.0

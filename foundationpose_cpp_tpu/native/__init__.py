@@ -41,7 +41,7 @@ def _build() -> bool:
     src = _HERE / "fpnative.cpp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-march=native",
-        str(src), "-o", str(_LIB_PATH),
+        "-pthread", str(src), "-o", str(_LIB_PATH),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -76,6 +76,10 @@ def load_library() -> ctypes.CDLL | None:
         lib.fp_free_mesh.argtypes = [ctypes.POINTER(_FpMesh)]
         lib.fp_mesh_diameter.restype = ctypes.c_double
         lib.fp_mesh_diameter.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.fp_diameter_exact.restype = ctypes.c_double
+        lib.fp_diameter_exact.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
         lib.fp_ring_create.restype = ctypes.c_void_p
@@ -143,6 +147,22 @@ def mesh_diameter_native(positions: np.ndarray) -> float | None:
     pos = np.ascontiguousarray(positions, dtype=np.float32)
     return float(
         lib.fp_mesh_diameter(
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pos.shape[0]
+        )
+    )
+
+
+def diameter_exact_native(positions: np.ndarray) -> float | None:
+    """Exact threaded pairwise-max distance (fp_diameter_exact).
+
+    Callers pass convex-hull vertices; the hull's farthest pair equals the
+    full set's. None when the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(positions, dtype=np.float32)
+    return float(
+        lib.fp_diameter_exact(
             pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pos.shape[0]
         )
     )

@@ -296,15 +296,21 @@ def auto_kernel_knobs(num_faces: int) -> dict:
     Swept on a v5e at 252 views x 160x160 (tools/sweep_fused.py,
     round 4): 64-face phase-1 chunks cull measurably tighter than 128/256
     (phase 1 alone 36.7 vs 39.5/49.7 ms on the 6016-face sphere) and a
-    512-wide phase-2 superwindow amortizes the extraction dot's fixed cost
-    (59.8 ms total vs 79.8 at the old chunk-256 defaults, patch mode).
+    1024-wide phase-2 superwindow amortizes the extraction dot's fixed
+    cost (58.0 ms total vs 59.8 at w512 vs 79.8 at the old chunk-256
+    defaults, patch mode; at scan scale, 28k faces, 158 vs 175 ms).
     The dynamic-trip knobs (livelist phase 1, winner-range phase 2) are
     the module defaults already. Scan-scale meshes (~28k faces) keep the
     same shape -- the livelist makes the chunk count a per-tile trip
-    count, not a loop bound.
+    count, not a loop bound. Small meshes cap the window at the face
+    count's padding granularity: the tables pad to max(chunk, p2_window)
+    faces, so a 12-face cube at w1024 would pay an 85x-padded table and a
+    1024-wide extraction dot per visit for nothing.
     """
-    del num_faces  # one schedule wins across swept sizes (6k-28k faces)
-    return {"chunk": 64, "p2_window": 512}
+    w = 128
+    while w < num_faces and w < 1024:
+        w *= 2
+    return {"chunk": 64, "p2_window": w}
 
 
 @functools.partial(

@@ -60,6 +60,19 @@ def test_native_diameter_large_cloud():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_native_diameter_exact_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(700, 3)).astype(np.float32)
+    diff = pts[:, None, :].astype(np.float64) - pts[None, :, :]
+    want = float(np.sqrt((diff**2).sum(-1).max()))
+    got = native.diameter_exact_native(pts)
+    assert got == pytest.approx(want, rel=1e-12)  # same f64-over-f32 math
+    assert native.diameter_exact_native(pts[:1]) == 0.0
+    # the production path: mesh_diameter routes f32 input through the hull
+    # + native exact sweep and must agree with the brute force
+    np.testing.assert_allclose(ml.mesh_diameter(pts), want, rtol=1e-7)
+
+
 def test_frame_ring_push_pop_latest():
     ring = native.FrameRing((4, 4, 3), np.uint8, capacity=3)
     assert ring.pop_latest() is None
