@@ -262,6 +262,20 @@ def main() -> None:
                                               "p1_livelist": True,
                                               "p2_dynamic": True,
                                               "p1_bf16": True}),
+        # no-quadrant-split at the production livelist point: one fat
+        # (chunk, 12)@(12, 512) dot per visit vs up to 4 predicated
+        # quadrant dots -- wins if the average live-quadrant count and the
+        # hit-test machinery outweigh the 4x-wider VPU ops
+        ("patch4_c64_w1024_nq", tbl_patch, {"chunk": 64, "p2_window": 1024,
+                                            "p1_livelist": True,
+                                            "p2_dynamic": True,
+                                            "quadrant_split": False}),
+        ("corner_c64_nq_p1", tbl_corner, {"chunk": 64, "p1_livelist": True,
+                                          "quadrant_split": False,
+                                          "debug_phase1_only": True}),
+        ("corner_c64_w1024_p1", tbl_corner, {"chunk": 64,
+                                             "p1_livelist": True,
+                                             "debug_phase1_only": True}),
     ]
     if args.only:
         names = set(args.only.split(","))
