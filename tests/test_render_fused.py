@@ -321,3 +321,23 @@ def test_bad_kernel_knobs_raise():
         render_views_fused(
             tables, poses, clipm, CROP, CROP, interpret=True, p1_group=5,
         )
+
+
+def test_auto_kernel_knobs_policy():
+    """The per-mesh production schedule: chunk 64 always; the phase-2
+    superwindow scales with face count up to 1024 and floors at 128 so
+    tiny meshes don't pad their tables to max(chunk, p2_window)."""
+    from foundationpose_cpp_tpu.ops.render_fused import auto_kernel_knobs
+
+    assert auto_kernel_knobs(12) == {"chunk": 64, "p2_window": 128}
+    assert auto_kernel_knobs(128) == {"chunk": 64, "p2_window": 128}
+    assert auto_kernel_knobs(129) == {"chunk": 64, "p2_window": 256}
+    assert auto_kernel_knobs(6016) == {"chunk": 64, "p2_window": 1024}
+    assert auto_kernel_knobs(100_000) == {"chunk": 64, "p2_window": 1024}
+    # from_asset bakes the policy into the tables the renderer consumes
+    sphere = procedural.textured_uv_sphere(radius=0.05, n_lat=4, n_lon=6)
+    tables = FusedMeshTables.from_asset(sphere)
+    assert tables.kernel_chunk == 64
+    assert tables.kernel_p2_window == auto_kernel_knobs(
+        tables.num_faces
+    )["p2_window"]
