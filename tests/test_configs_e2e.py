@@ -123,6 +123,7 @@ def test_multi_object_tracking_batch():
         np.testing.assert_allclose(out[i], solo, rtol=1e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fused_and_exact_paths_agree_on_register():
     """Weight-free parity check: the fused TPU renderer and the exact
     (reference-faithful) path must produce matching poses through the FULL

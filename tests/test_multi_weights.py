@@ -93,6 +93,7 @@ def _register_scenes(asset, params_r, params_s, n_scenes, seed):
     return float(np.mean(rots)), int(flips)
 
 
+@pytest.mark.slow
 def test_register_unseen_objects_cpu_exact_path():
     """From-scratch Register on two objects neither the trainer nor the
     committed eval ever saw, through the exact unfused CPU path.

@@ -188,6 +188,7 @@ def test_inward_winding_normalized():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_knobs_are_output_invariant():
     """chunk size and quadrant_split are pure scheduling knobs: every
     combination must produce bit-identical images (the packed depth key's

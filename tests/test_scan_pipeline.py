@@ -68,6 +68,7 @@ def _scan_mesh():
     return mesh
 
 
+@pytest.mark.slow
 def test_scan_mesh_refine_and_score_accuracy():
     mesh = _scan_mesh()
     params_r = checkpoint.load_params(str(_RPATH))

@@ -61,6 +61,7 @@ def test_two_sizes_share_one_executable():
     assert np.isfinite(t1).all() and np.isfinite(t2).all()
 
 
+@pytest.mark.slow
 def test_bucketed_matches_exact():
     """Padding + dynamic extents must not change the estimate.
 

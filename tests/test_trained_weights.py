@@ -101,6 +101,7 @@ def test_trained_refiner_reduces_pose_error(mesh_name, mesh, scene):
     assert err_t < max(0.5 * err0_t, 0.005), (err0_t, err_t)
 
 
+@pytest.mark.slow
 def test_trained_scorer_ranks_by_alignment(mesh_name, mesh):
     params_s = checkpoint.load_params(_weights("scorer", mesh_name))
     Kj = jnp.asarray(tr.default_intrinsics(TCFG))
