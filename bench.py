@@ -303,20 +303,23 @@ def main() -> None:
     packed_frame = np.zeros(h * w * 7, np.uint8)  # 480x640: 2.05 MiB
     h2d_reps = 32
 
-    def _sync():
-        # the tunnel's block_until_ready is a no-op; a 1-element fetch
-        # forces every queued transfer/computation to complete
+    def _drain(bufs):
+        # belt and braces: block on the transferred buffers THEMSELVES
+        # (the only ordering guarantee on runtimes whose transfer stream
+        # is independent of compute) and then a 1-element fetch, which is
+        # what actually forces completion through the axon tunnel (its
+        # block_until_ready is a no-op)
+        jax.block_until_ready(bufs)
         return float(jnp.sum(jnp.zeros((1,))))
 
-    _ = jax.device_put(packed_frame)
-    _sync()
+    warm = jax.device_put(packed_frame)
+    _drain(warm)
     t0 = time.perf_counter()
-    _sync()
+    _drain(warm)
     rtt_s = time.perf_counter() - t0  # fetch round trip alone
     t0 = time.perf_counter()
-    for _ in range(h2d_reps):
-        _ = jax.device_put(packed_frame)
-    _sync()
+    bufs = [jax.device_put(packed_frame) for _ in range(h2d_reps)]
+    _drain(bufs)
     h2d_total = time.perf_counter() - t0
     h2d_ms = max((h2d_total - rtt_s) / h2d_reps, 1e-9) * 1e3
     h2d_gbps = packed_frame.nbytes / (h2d_ms / 1e3) / 2**30

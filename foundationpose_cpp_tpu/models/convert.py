@@ -40,12 +40,15 @@ checkpoint.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Mapping
 
 import numpy as np
 
 from foundationpose_cpp_tpu.models import networks
+
+logger = logging.getLogger("foundationpose_cpp_tpu")
 
 Array = np.ndarray
 
@@ -392,6 +395,17 @@ def load_onnx_initializers(path: str) -> dict[str, Array]:
     try:
         return onnx_recover.recover_state_dict(graph)
     except onnx_recover.RecoveryError as e:
+        # a name-preserving export whose GRAPH shape deviates from the
+        # published trunk (different exporter decomposition, extra folded
+        # ops) still carries every parameter by name -- return those and
+        # let convert_state_dict's strict checks validate completeness
+        named = onnx_recover.named_float_initializers(graph)
+        if named:
+            logger.warning(
+                "%s: structural recovery failed (%s); falling back to the "
+                "%d named initializers", path, e, len(named),
+            )
+            return named
         raise ConversionError(
             f"{path}: cannot recover parameter names from this graph "
             f"({e}); convert from the torch .pth checkpoint instead"

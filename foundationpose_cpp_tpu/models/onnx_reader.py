@@ -92,15 +92,24 @@ def _fields(data: bytes):
         yield field, wt, val
 
 
+def _signed64(v: int) -> int:
+    """Two's-complement re-interpretation of a raw uint64 varint.
+
+    Negative int64/int32 protobuf values arrive as 10-byte varints whose
+    unsigned value is v + 2**64 (e.g. -1 -> 2**64 - 1); without this,
+    shape constants like [-1, 512] overflow np.int64 construction."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _packed_int64(val: bytes, wt: int) -> list[int]:
     """Repeated int64 field: packed (wt 2) or a single varint (wt 0)."""
     if wt == 0:
-        return [val]
+        return [_signed64(val)]
     out = []
     pos = 0
     while pos < len(val):
         v, pos = _varint(val, pos)
-        out.append(v)
+        out.append(_signed64(v))
     return out
 
 
@@ -141,8 +150,8 @@ def _parse_tensor(data: bytes) -> OnnxTensor:
             dims.extend(_packed_int64(val, wt))
         elif field == 2:
             data_type = val
-        elif field == 4:  # float_data (packed f32)
-            f32s.append(val if wt == 2 else val)
+        elif field == 4:  # float_data (packed f32; torch never unpacks it)
+            f32s.append(val)
         elif field == 5:  # int32_data
             i32s.extend(_packed_int64(val, wt))
         elif field == 7:  # int64_data
@@ -168,12 +177,11 @@ def _parse_tensor(data: bytes) -> OnnxTensor:
     elif f64s:
         arr = np.frombuffer(b"".join(f64s), dtype="<f8")
     elif i64s:
+        # _packed_int64 already re-interpreted negative two's-complement
+        # varints, so shape constants like [-1, 512] construct cleanly
         arr = np.asarray(i64s, dtype=np.int64)
-        # int64_data carries zig-zag-free two's-complement varints; values
-        # above 2**63-1 are negative numbers encoded as 10-byte varints
-        arr = arr.astype(np.int64)
     elif i32s:
-        arr = np.asarray(np.asarray(i32s, dtype=np.int64).astype(np.int32))
+        arr = np.asarray(i32s, dtype=np.int64).astype(np.int32)
     else:
         arr = np.zeros((0,), dtype=dt)
     n_expect = int(np.prod(dims)) if dims else arr.size
@@ -193,8 +201,8 @@ def _parse_attr(data: bytes) -> tuple[str, object]:
             name = val.decode("utf-8")
         elif field == 2:  # f (fixed32)
             value = float(np.frombuffer(val, "<f4")[0])
-        elif field == 3:  # i
-            value = val
+        elif field == 3:  # i (signed: axis=-1 etc. arrive as 10-byte varints)
+            value = _signed64(val)
         elif field == 4:  # s
             value = val.decode("utf-8", errors="replace")
         elif field == 5:  # t (TensorProto)

@@ -143,6 +143,18 @@ class _Graph:
         return None
 
 
+def named_float_initializers(graph: OnnxGraph) -> dict[str, np.ndarray]:
+    """The properly-named float tensors of a (partially) name-preserving
+    export. Callers use this as the fallback when structural recovery
+    rejects the graph shape: a fully-named export needs no traversal at
+    all, and convert_state_dict's strict name/shape checks still reject
+    incomplete sets loudly."""
+    return {
+        n: a for n, a in graph.initializers.items()
+        if _is_named(n) and np.issubdtype(a.dtype, np.floating)
+    }
+
+
 def recover_state_dict(graph: OnnxGraph) -> dict[str, np.ndarray]:
     """Named torch-layout state dict from an ONNX graph (see module doc)."""
     G = _Graph(graph)

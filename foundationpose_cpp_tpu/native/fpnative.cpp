@@ -464,6 +464,10 @@ FpMesh* fp_parse_ply(const char* path) try {
         else if (n == "v" || n == "t") { if (ov < 0) ov = (int)k; }
       }
       if (ox < 0 || oy < 0 || oz < 0) return nullptr;
+      // the ASCII reader's vals[] scratch holds 64 properties; exotic
+      // vertex layouts beyond that fall back to the Python parser rather
+      // than reading stale/out-of-bounds slots
+      if (el.props.size() > 64) return nullptr;
       has_n = onx >= 0 && ony >= 0 && onz >= 0;
       has_t = ou >= 0 && ov >= 0;
       pos.reserve(pos.size() + el.count * 3);
@@ -542,7 +546,11 @@ FpMesh* fp_parse_ply(const char* path) try {
               p += csz;
               size_t isz = ply_size(pr.type);
               if (n < 0 || p + isz * n > e) return nullptr;
-              if (is_face && first_list && n <= 256) {
+              if (is_face && first_list) {
+                // >256-gon: bail to the Python parser (which fans any n)
+                // rather than silently dropping the polygon -- matches
+                // the ASCII path's rejection above
+                if (n > 256) return nullptr;
                 for (long long k = 0; k < n; ++k)
                   idx[k] = (int32_t)ply_load((const uint8_t*)p + isz * k,
                                              pr.type);

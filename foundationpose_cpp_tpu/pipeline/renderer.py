@@ -101,9 +101,15 @@ class MeshConstants:
                     face_patch_error,
                 )
 
+                # reduce="max" keeps this gate commensurable with the
+                # worst-case face_sampling_error trigger above: pk2 is
+                # chosen only when its worst probe passes the SAME
+                # tolerance that demanded patches (mean would admit pk2
+                # with above-tolerance local error; failing the gate just
+                # pays pk4, the conservative choice)
                 err2 = face_patch_error(
                     asset.texture, np.asarray(asset.texcoords),
-                    np.asarray(asset.faces), pk=2,
+                    np.asarray(asset.faces), pk=2, reduce="max",
                 )
                 texture_patch_k = (
                     2 if float(err2.max(initial=0.0)) <= subdivide_tol else 4

@@ -175,3 +175,46 @@ def test_corrupted_onnx_rejected(tmp_path):
         f.write(b"\x99" * 64)
     with pytest.raises(convert.ConversionError):
         convert.load_onnx_initializers(path)
+
+
+def test_negative_int64_initializers_and_attrs_parse():
+    """Negative protobuf ints arrive as 10-byte two's-complement varints;
+    the reader must deliver them signed. Shape constants like [-1, 512]
+    (tf2onnx/older-torch typed int64_data) crashed construction before,
+    and a Slice axis=-1 attribute decoded as 2**64-1."""
+    from foundationpose_cpp_tpu.models import onnx_reader
+
+    def varint(v):
+        v &= (1 << 64) - 1
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    def field(num, wt, payload):
+        tag = varint(num << 3 | wt)
+        if wt == 2:
+            return tag + varint(len(payload)) + payload
+        return tag + payload
+
+    # TensorProto: dims=[2], data_type=INT64(7), int64_data=[-1, 512], name
+    tensor = (
+        field(1, 0, varint(2)) + field(2, 0, varint(7))
+        + field(7, 2, varint(-1) + varint(512))
+        + field(8, 2, b"shape_const")
+    )
+    # NodeProto: op_type=Slice with attr i=-1
+    attr = field(1, 2, b"axis") + field(3, 0, varint(-1))
+    node = field(4, 2, b"Slice") + field(5, 2, attr)
+    graph = field(5, 2, tensor) + field(1, 2, node)
+    model = field(7, 2, graph)
+
+    g = onnx_reader.parse_model(model)
+    np.testing.assert_array_equal(
+        g.initializers["shape_const"], np.asarray([-1, 512], np.int64)
+    )
+    assert g.nodes[0].attrs["axis"] == -1
