@@ -462,6 +462,7 @@ def _fused_kernel(
     p1_livelist=False,
     p2_dynamic=False,
     p1_bf16=False,
+    p1_unroll=1,
 ):
     """Control flow is static fori + @pl.when by default (see module
     docstring); pixel state lives in VMEM scratch because predicated bodies
@@ -579,7 +580,9 @@ def _fused_kernel(
         # screen space, so corner bounds bound every interior pixel), and
         # invalid/pad faces carry an always-negative edge constant.
         covered = jnp.minimum(jnp.minimum(a0, a1), a2) >= 0
-        zbits = jax.lax.bitcast_convert_type(zw + 1.5, jnp.int32)
+        # the zw plane arrives pre-biased by +1.5 (prepass folds it into
+        # gamma), so the bit pattern is directly order-isomorphic
+        zbits = jax.lax.bitcast_convert_type(zw, jnp.int32)
         packed = (zbits & (~pos_mask)) + pos_iota
         packed = jnp.where(covered, packed, _BIG_I)
         local = jnp.min(packed, axis=0, keepdims=True)  # (1, span)
@@ -626,17 +629,47 @@ def _fused_kernel(
     # 47.6 ms phase 1); large meshes fall back to fori to bound compile time
     if p1_livelist:
         # dynamic trip count == live chunks for THIS tile: the precomputed
-        # SMEM list (count | ascending live chunk ids) replaces both the
+        # SMEM list (count | ascending packed entries) replaces both the
         # bitmask test and the dead-trip machinery; every iteration does
         # real work
         nlive = live_ref[0, t_lin, 0]
 
-        def live_body(k, carry):
-            ci = live_ref[0, t_lin, 1 + k]
-            visit_chunk(ci, coeff_ref[0, pl.ds(ci * chunk, chunk), :])
-            return carry
+        def visit_entry(k):
+            entry = live_ref[0, t_lin, 1 + k]
+            ci = entry >> 4
+            cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
+            if quadrant_split:
+                # quadrant dispatch off the entry's precomputed hit mask:
+                # two scalar bit ops per quadrant instead of the bbox
+                # load/compare chain (see the prepass livelist comment)
+                for q in range(4):
+                    @pl.when((entry & (1 << q)) != 0)
+                    def _(q=q, ci=ci, cf=cf):
+                        depth_chunk_quadrant(ci, cf, q, q * QS)
+            else:
+                depth_chunk_quadrant(ci, cf, 0, 0)
 
-        jax.lax.fori_loop(0, nlive, live_body, 0)
+        if p1_unroll > 1:
+            # unrolled pairs overlap entry k+1's scalar decode with entry
+            # k's vector work (the loop body is a serial scalar->vector
+            # dependency chain); the tail entries run predicated
+            def live_unrolled(k, carry):
+                for u in range(p1_unroll):
+                    visit_entry(k * p1_unroll + u)
+                return carry
+
+            jax.lax.fori_loop(0, nlive // p1_unroll, live_unrolled, 0)
+            base = (nlive // p1_unroll) * p1_unroll
+            for u in range(p1_unroll - 1):
+                @pl.when(base + u < nlive)
+                def _(u=u):
+                    visit_entry(base + u)
+        else:
+            def live_body(k, carry):
+                visit_entry(k)
+                return carry
+
+            jax.lax.fori_loop(0, nlive, live_body, 0)
     elif n_chunks <= _UNROLL_MAX:
         if p1_group > 1:
             # superchunk gate: one scalar bitmask test skips a whole group
@@ -894,7 +927,7 @@ def _fused_kernel(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
         "quadrant_split", "p2_window", "debug_prepass_only", "p1_group",
-        "p1_livelist", "p2_dynamic", "p1_bf16",
+        "p1_livelist", "p2_dynamic", "p1_bf16", "p1_unroll",
     ),
 )
 def render_views_fused(
@@ -918,6 +951,7 @@ def render_views_fused(
     p1_livelist: bool = True,
     p2_dynamic: bool = True,
     p1_bf16: bool = False,
+    p1_unroll: int = 1,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -969,6 +1003,12 @@ def render_views_fused(
         # the livelist path replaces the bitmask walk entirely; a silent
         # override would let a sweep record claim a p1_group it never ran
         raise ValueError("p1_livelist ignores p1_group; pass one or the other")
+    if p1_unroll not in (1, 2, 4):
+        raise ValueError(f"p1_unroll ({p1_unroll}) must be 1, 2, or 4")
+    if p1_unroll > 1 and not p1_livelist:
+        # unrolling targets the livelist loop's scalar->vector dependency
+        # chain; the static bitmask walk is already fully unrolled
+        raise ValueError("p1_unroll > 1 requires p1_livelist")
     n_ty, n_tx = img_h // TILE_H, img_w // TILE_W
     n_tiles = n_ty * n_tx
     f32 = jax.lax.Precision.HIGHEST
@@ -1034,7 +1074,11 @@ def render_views_fused(
     safe = jnp.where(plane_ok, det, 1.0)
     alpha = (dz1 * d2y - dz2 * d1y) / safe
     beta = (dz2 * d1x - dz1 * d2x) / safe
-    gamma = zwk[0] - alpha * sxk[0] - beta * syk[0]
+    # the +1.5 depth-key bias (z/w in [-1,1] -> [0.5,2.5], making positive
+    # f32 bit patterns order-isomorphic) is folded into the plane's constant
+    # term HERE so the kernel's per-visit (chunk, span) stream saves one
+    # vector add; the kernel subtracts it once per tile on readout
+    gamma = zwk[0] - alpha * sxk[0] - beta * syk[0] + 1.5
 
     w_pos = (clip_k[0]["w"] > 0) & (clip_k[1]["w"] > 0) & (clip_k[2]["w"] > 0)
     nondeg = jnp.zeros_like(w_pos)
@@ -1106,7 +1150,7 @@ def render_views_fused(
     ]
     alpha = jnp.where(valid, alpha, 0.0)
     beta = jnp.where(valid, beta, 0.0)
-    gamma = jnp.where(valid, gamma, 2.0)
+    gamma = jnp.where(valid, gamma, 3.5)  # 2.0 + the 1.5 key bias
     inf = jnp.float32(jnp.inf)
     x0 = jnp.where(valid, x0, inf)
     y0 = jnp.where(valid, y0, inf)
@@ -1130,7 +1174,7 @@ def render_views_fused(
     # faces (coverage fails), and the out-of-range depth plane for hygiene
     coeff_planes = [
         padf(p, -1.0 if i == 2 else 0.0) for i, p in enumerate(edge_planes)
-    ] + [padf(alpha), padf(beta), padf(gamma, 2.0)]
+    ] + [padf(alpha), padf(beta), padf(gamma, 3.5)]
     zeros = jnp.zeros((n, f_pad), jnp.float32)
     coeff_planes += [zeros] * 4  # pad to 16
 
@@ -1177,13 +1221,40 @@ def render_views_fused(
 
     live_list = None
     if p1_livelist:
-        # per-(view, tile) live-chunk list: [count | ascending live ids |
-        # sentinel pad]; the kernel's dynamic-trip phase-1 loop reads ids
-        # 1..count and never touches the pad (sorted dead slots carry
-        # n_chunks, out of range by construction)
+        # per-(view, tile) live-chunk list: [count | ascending entries |
+        # sentinel pad]. Each entry packs (chunk_id << 4) | quadrant_mask:
+        # the prepass resolves WHICH 16x16 quadrants the chunk bbox hits
+        # (bit q = quadrant qy*2+qx, the kernel's lane layout), so the
+        # kernel's per-visit quadrant dispatch is two scalar bit ops
+        # instead of four SMEM bbox loads + eight compares -- phase 1's
+        # livelist loop is serial scalar->vector, and every scalar op on
+        # its critical path is paid per (tile, chunk) visit. Sorting by
+        # the packed value keeps chunk ids ascending (the mask rides the
+        # low bits; ids are unique per tile); dead slots carry
+        # n_chunks << 4, out of range by construction.
+        qx0 = tlx[None, None, :, None] + (
+            jnp.arange(4, dtype=jnp.float32)[None, None, None, :] % 2
+        ) * 16.0  # (1, 1, T, 4)
+        qy0 = tly[None, None, :, None] + (
+            jnp.arange(4, dtype=jnp.float32)[None, None, None, :] // 2
+        ) * 16.0
+        overlap_q = (
+            (cx0[:, :, None, None] <= qx0 + 15.0)
+            & (cx1[:, :, None, None] >= qx0)
+            & (cy0[:, :, None, None] <= qy0 + 15.0)
+            & (cy1[:, :, None, None] >= qy0)
+        )  # (N, C, T, 4)
+        qmask = (
+            overlap_q.astype(jnp.int32)
+            * (jnp.int32(1) << jnp.arange(4, dtype=jnp.int32))[
+                None, None, None, :
+            ]
+        ).sum(axis=-1)  # (N, C, T)
         cid = jnp.arange(n_chunks, dtype=jnp.int32)
         ids = jnp.where(
-            overlap, cid[None, :, None], jnp.int32(n_chunks)
+            overlap,
+            (cid[None, :, None] << 4) | qmask,
+            jnp.int32(n_chunks) << 4,
         )  # (N, C, T)
         ids_sorted = jnp.sort(ids, axis=1).transpose(0, 2, 1)  # (N, T, C)
         counts = overlap.sum(axis=1).astype(jnp.int32)  # (N, T)
@@ -1230,6 +1301,7 @@ def render_views_fused(
         p1_livelist=p1_livelist,
         p2_dynamic=p2_dynamic,
         p1_bf16=p1_bf16,
+        p1_unroll=p1_unroll,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)

@@ -231,6 +231,11 @@ def test_kernel_knobs_are_output_invariant():
         {"p1_livelist": True, "p2_dynamic": True},
         {"p1_livelist": True, "p2_dynamic": True, "chunk": 64},
         {"p1_livelist": True, "quadrant_split": False},
+        # the unrolled livelist loop (pairs + predicated tail) must visit
+        # the same entries; odd/even live counts both occur across tiles
+        {"p1_livelist": True, "p1_unroll": 2},
+        {"p1_livelist": True, "p1_unroll": 4, "chunk": 64},
+        {"p1_livelist": True, "p1_unroll": 2, "quadrant_split": False},
     ):
         got = np.asarray(
             render_views_fused(

@@ -276,6 +276,31 @@ def main() -> None:
         ("corner_c64_w1024_p1", tbl_corner, {"chunk": 64,
                                              "p1_livelist": True,
                                              "debug_phase1_only": True}),
+        # round-4b: livelist-loop unrolling (pairs/quads overlap entry k+1's
+        # scalar decode with entry k's vector work; the per-visit chain is
+        # serial scalar->vector). u1 re-baselines the qmask-entry +
+        # prepass-folded-depth-bias changes against the earlier records.
+        ("patch4_c64_w1024_u2", tbl_patch, {"chunk": 64, "p2_window": 1024,
+                                            "p1_livelist": True,
+                                            "p2_dynamic": True,
+                                            "p1_unroll": 2}),
+        ("patch4_c64_w1024_u4", tbl_patch, {"chunk": 64, "p2_window": 1024,
+                                            "p1_livelist": True,
+                                            "p2_dynamic": True,
+                                            "p1_unroll": 4}),
+        ("corner_c64_w1024_u2", tbl_corner, {"chunk": 64, "p2_window": 1024,
+                                             "p1_livelist": True,
+                                             "p2_dynamic": True,
+                                             "p1_unroll": 2}),
+        ("corner_c64_p1_u2", tbl_corner, {"chunk": 64, "p1_livelist": True,
+                                          "p1_unroll": 2,
+                                          "debug_phase1_only": True}),
+        ("corner_c64_p1_u4", tbl_corner, {"chunk": 64, "p1_livelist": True,
+                                          "p1_unroll": 4,
+                                          "debug_phase1_only": True}),
+        ("corner_c128_p1_u2", tbl_corner, {"chunk": 128, "p1_livelist": True,
+                                           "p1_unroll": 2,
+                                           "debug_phase1_only": True}),
     ]
     if args.only:
         names = set(args.only.split(","))
