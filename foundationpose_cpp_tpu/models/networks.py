@@ -56,6 +56,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from foundationpose_cpp_tpu.ops import attention_pallas
+
 Params = dict[str, Any]
 
 
@@ -77,6 +79,12 @@ class NetConfig:
     crop_hw: int = 160
     cross_attention: bool = False  # scorer ScoreNetMultiPair att_cross
     dtype: Any = jnp.bfloat16
+    # attention core implementation: "auto" picks the whole-head Pallas
+    # kernel (ops/attention_pallas.py) when tracing for TPU and the shape
+    # fits its VMEM budget, else the XLA einsum path. "xla" forces the
+    # einsum path (parity oracles, CPU). "pallas"/"pallas_interpret" force
+    # the kernel (the latter interpreted, for CPU tests).
+    attn_impl: str = "auto"
 
     @property
     def tokens_per_side(self) -> int:
@@ -177,12 +185,27 @@ def _linear(x, w, b):
     return (out + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def _self_attention(x, p, num_heads):
+def _use_pallas_attn(attn_impl, num_heads, t, hd, dtype):
+    """Trace-time choice of the attention core (see NetConfig.attn_impl)."""
+    if attn_impl in ("pallas", "pallas_interpret"):
+        return True
+    if attn_impl != "auto":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and attention_pallas.fits_vmem(num_heads, t, hd, jnp.dtype(dtype).itemsize)
+    )
+
+
+def _self_attention(x, p, num_heads, attn_impl="auto"):
     """torch.nn.MultiheadAttention forward (packed in_proj, scaled dot).
 
-    In the bf16 inference path the (N, H, T, T) logits are emitted bf16
+    The attention core (logits, softmax, weighted sum) runs as the
+    whole-head Pallas kernel on TPU (ops/attention_pallas.py -- logits
+    stay in VMEM; 8.2 -> ~3 ms per encoder layer at refiner shapes). The
+    XLA fallback keeps the earlier tuning: bf16 inputs emit bf16 logits
     (MXU still accumulates f32; only the output rounds) and upcast inside
-    the softmax: at N=252, T=400 the f32 logits tensor is 645 MB of HBM
+    the softmax -- at N=252, T=400 the f32 logits tensor is 645 MB of HBM
     traffic and the bf16 variant measures 13.6 -> 9.4 ms per layer
     (tools/bench_attn.py). f32 inputs (training, parity oracles) keep
     full-precision logits.
@@ -196,22 +219,36 @@ def _self_attention(x, p, num_heads):
         return a.reshape(n, t, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    logits_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=logits_dtype)
-    attn = jax.nn.softmax(
-        logits.astype(jnp.float32) / math.sqrt(hd), axis=-1
-    ).astype(x.dtype)
-    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32)
+    if _use_pallas_attn(attn_impl, num_heads, t, hd, x.dtype):
+        out = attention_pallas.mha_whole_head(
+            q, k, v,
+            scale=1.0 / math.sqrt(hd),
+            interpret=attn_impl == "pallas_interpret",
+        )
+    else:
+        logits_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        logits = jnp.einsum(
+            "nhqd,nhkd->nhqk", q, k, preferred_element_type=logits_dtype
+        )
+        attn = jax.nn.softmax(
+            logits.astype(jnp.float32) / math.sqrt(hd), axis=-1
+        ).astype(x.dtype)
+        out = jnp.einsum(
+            "nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32
+        )
     out = out.transpose(0, 2, 1, 3).reshape(n, t, d).astype(x.dtype)
     return _linear(out, p["proj_w"], p["proj_b"])
 
 
-def _encoder_layer(x, p, num_heads):
+def _encoder_layer(x, p, num_heads, attn_impl="auto"):
     """Post-norm (norm_first=False) TransformerEncoderLayer, ReLU FFN.
 
     torch: x = norm1(x + attn(x)); x = norm2(x + linear2(relu(linear1(x))))
     """
-    x = _layer_norm(x + _self_attention(x, p["attn"], num_heads), p["ln1_s"], p["ln1_b"])
+    x = _layer_norm(
+        x + _self_attention(x, p["attn"], num_heads, attn_impl),
+        p["ln1_s"], p["ln1_b"],
+    )
     h = jax.nn.relu(_linear(x, p["mlp_w1"], p["mlp_b1"]))
     h = _linear(h, p["mlp_w2"], p["mlp_b2"])
     return _layer_norm(x + h, p["ln2_s"], p["ln2_b"])
@@ -342,7 +379,7 @@ def _apply_backbone(
     # identical to an NHWC reshape.
     tokens = ab.reshape(n, th * tw, d) + params["pos_embed"][None].astype(cfg.dtype)
     for layer in params["encoder"]:
-        tokens = _encoder_layer(tokens, layer, cfg.num_heads)
+        tokens = _encoder_layer(tokens, layer, cfg.num_heads, cfg.attn_impl)
     pooled = tokens.mean(axis=1)  # (N, D)
     n_local = pooled.shape[0]
     if cross_attention and "att_cross" in params:
@@ -366,7 +403,7 @@ def _apply_backbone(
             -1, group_size, d
         )
         pooled = _encoder_layer(
-            seq, params["att_cross"], cfg.num_heads
+            seq, params["att_cross"], cfg.num_heads, cfg.attn_impl
         ).reshape(pooled.shape)
     pooled = pooled.astype(jnp.float32)
     out = {}
