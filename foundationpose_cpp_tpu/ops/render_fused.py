@@ -317,7 +317,7 @@ def auto_kernel_knobs(num_faces: int) -> dict:
     jax.tree_util.register_dataclass,
     data_fields=["face_verts", "face_normals", "face_colors", "face_patch"],
     meta_fields=["num_faces", "diameter", "backface_cull_ok", "patch_k",
-                 "kernel_chunk", "kernel_p2_window"],
+                 "kernel_chunk", "kernel_p2_window", "kernel_p2_anchor"],
 )
 @dataclasses.dataclass(frozen=True)
 class FusedMeshTables:
@@ -351,6 +351,7 @@ class FusedMeshTables:
     # rendered image is knob-invariant (pinned by tests).
     kernel_chunk: int | None = None
     kernel_p2_window: int | None = None
+    kernel_p2_anchor: bool = False
 
     @staticmethod
     def from_asset(
@@ -427,6 +428,7 @@ class FusedMeshTables:
             patch_k=pk,
             kernel_chunk=knobs["chunk"],
             kernel_p2_window=knobs["p2_window"],
+            kernel_p2_anchor=knobs.get("p2_anchor", False),
         )
 
 
@@ -463,6 +465,7 @@ def _fused_kernel(
     p2_dynamic=False,
     p1_bf16=False,
     p1_unroll=1,
+    p2_anchor=False,
 ):
     """Control flow is static fori + @pl.when by default (see module
     docstring); pixel state lives in VMEM scratch because predicated bodies
@@ -878,7 +881,29 @@ def _fused_kernel(
     # phase 2 stays a fori loop: unrolling it was measured 6x SLOWER
     # (199 ms full render) -- the per-iteration transpose + concat inside
     # the predicated region blow up when replicated 24x
-    if p2_dynamic and not debug_phase1_only:
+    if p2_anchor and not debug_phase1_only:
+        # ANCHORED dynamic window: align the window base to the winner
+        # range itself ((smin // 128) * 128, the lane-alignment floor)
+        # instead of a fixed window grid. Winners inside one tile are
+        # Morton-local (typically spanning < 128 positions), so a narrow
+        # window anchored at the range covers them in ONE visit where the
+        # grid-aligned schedule needed a window wide enough to swallow any
+        # straddle -- the extraction dot's contraction dim and the one-hot
+        # build both shrink from p2w=1024 to 256 at identical visit
+        # counts. Windows are disjoint by construction (base + k*p2w), so
+        # each winner still resolves exactly once; the face tables carry
+        # extra tail padding (see pad_f) so the last window never runs
+        # off the end. A no-winner tile has smax=-1, base0 ~ 2^30 ->
+        # negative trip count -> zero trips.
+        base0 = (smin // 128) * 128
+        trips = (smax - base0) // p2w + 1
+
+        def attr_window_anchor(k, carry):
+            attr_window(pl.multiple_of(base0 + k * p2w, 128))
+            return carry
+
+        jax.lax.fori_loop(0, trips, attr_window_anchor, 0)
+    elif p2_dynamic and not debug_phase1_only:
         # winners span [smin, smax] (Morton-compact); loop ONLY the windows
         # that intersect it -- dynamic bounds, typically 1-3 trips instead
         # of n_chunks. A no-winner tile has smin=_BIG, smax=-1 -> lo > hi
@@ -927,7 +952,7 @@ def _fused_kernel(
         "img_h", "img_w", "chunk", "interpret", "debug_phase1_only",
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
         "quadrant_split", "p2_window", "debug_prepass_only", "p1_group",
-        "p1_livelist", "p2_dynamic", "p1_bf16", "p1_unroll",
+        "p1_livelist", "p2_dynamic", "p1_bf16", "p1_unroll", "p2_anchor",
     ),
 )
 def render_views_fused(
@@ -952,6 +977,7 @@ def render_views_fused(
     p2_dynamic: bool = True,
     p1_bf16: bool = False,
     p1_unroll: int = 1,
+    p2_anchor: bool = False,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -1009,6 +1035,11 @@ def render_views_fused(
         # unrolling targets the livelist loop's scalar->vector dependency
         # chain; the static bitmask walk is already fully unrolled
         raise ValueError("p1_unroll > 1 requires p1_livelist")
+    if p2_anchor and not p2_dynamic:
+        # anchoring IS a dynamic schedule (the base comes from the winner
+        # range); requiring the flag keeps sweep records honest about what
+        # actually ran
+        raise ValueError("p2_anchor requires p2_dynamic")
     n_ty, n_tx = img_h // TILE_H, img_w // TILE_W
     n_tiles = n_ty * n_tx
     f32 = jax.lax.Precision.HIGHEST
@@ -1159,7 +1190,15 @@ def render_views_fused(
 
     # pad to the larger of chunk / p2_window so both phase-1 chunks and
     # phase-2 windows tile the table exactly (superwindow mode pads more)
-    pad_f = (-f) % max(chunk, p2_window or chunk)
+    pad_unit = max(chunk, p2_window or chunk)
+    pad_f = (-f) % pad_unit
+    if p2_anchor:
+        # anchored windows start at any 128-aligned base <= the last real
+        # face (pad faces never win), so the table must extend p2w past
+        # that base or the final window's slice runs off the end
+        need = ((f - 1) // 128) * 128 + (p2_window or chunk)
+        if f + pad_f < need:
+            pad_f = need + ((-need) % pad_unit) - f
 
     def padf(p, value=0.0):
         return (
@@ -1302,6 +1341,7 @@ def render_views_fused(
         p2_dynamic=p2_dynamic,
         p1_bf16=p1_bf16,
         p1_unroll=p1_unroll,
+        p2_anchor=p2_anchor,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)

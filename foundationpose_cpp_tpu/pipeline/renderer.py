@@ -256,6 +256,8 @@ def render_branch(
             knobs["chunk"] = mesh.fused.kernel_chunk
         if mesh.fused.kernel_p2_window is not None:
             knobs["p2_window"] = mesh.fused.kernel_p2_window
+        if mesh.fused.kernel_p2_anchor:
+            knobs["p2_anchor"] = True
         return render_views_fused(
             mesh.fused, poses, clip_mat, ch, cw,
             w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,

@@ -236,6 +236,14 @@ def test_kernel_knobs_are_output_invariant():
         {"p1_livelist": True, "p1_unroll": 2},
         {"p1_livelist": True, "p1_unroll": 4, "chunk": 64},
         {"p1_livelist": True, "p1_unroll": 2, "quadrant_split": False},
+        # anchored phase-2 windows: base = the winner range's 128-aligned
+        # floor instead of the fixed window grid; disjoint-by-construction
+        # windows must visit every winner exactly once
+        {"p1_livelist": True, "p2_dynamic": True, "p2_anchor": True},
+        {"p1_livelist": True, "p2_dynamic": True, "p2_anchor": True,
+         "chunk": 64, "p2_window": 256},
+        {"p1_livelist": True, "p2_dynamic": True, "p2_anchor": True,
+         "chunk": 32, "p2_window": 128},
     ):
         got = np.asarray(
             render_views_fused(
@@ -254,6 +262,13 @@ def test_kernel_knobs_are_output_invariant():
     for kw in (
         {"p1_livelist": True},
         {"p1_livelist": True, "p2_dynamic": True, "chunk": 64},
+        # anchored windows on a multi-tile grid: per-tile winner ranges
+        # give each tile a DIFFERENT anchor base, including tiles whose
+        # range straddles what would be a fixed-grid window boundary
+        {"p1_livelist": True, "p2_dynamic": True, "p2_anchor": True,
+         "chunk": 64, "p2_window": 128},
+        {"p1_livelist": True, "p2_dynamic": True, "p2_anchor": True,
+         "chunk": 64, "p2_window": 256},
     ):
         got = np.asarray(
             render_views_fused(
@@ -273,6 +288,8 @@ def test_kernel_knobs_are_output_invariant():
     for kw in (
         {"p1_livelist": True},
         {"p1_livelist": True, "p2_dynamic": True},
+        {"p1_livelist": True, "p2_dynamic": True, "p2_anchor": True,
+         "chunk": 64, "p2_window": 256},
     ):
         got = np.asarray(
             render_views_fused(
@@ -326,6 +343,11 @@ def test_bad_kernel_knobs_raise():
     with pytest.raises(ValueError, match="p1_group"):
         render_views_fused(
             tables, poses, clipm, CROP, CROP, interpret=True, p1_group=5,
+        )
+    with pytest.raises(ValueError, match="p2_anchor"):
+        render_views_fused(
+            tables, poses, clipm, CROP, CROP, interpret=True,
+            p2_anchor=True, p2_dynamic=False,
         )
 
 

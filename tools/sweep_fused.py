@@ -301,6 +301,43 @@ def main() -> None:
         ("corner_c128_p1_u2", tbl_corner, {"chunk": 128, "p1_livelist": True,
                                            "p1_unroll": 2,
                                            "debug_phase1_only": True}),
+        # round-4c: ANCHORED dynamic phase-2 window (base = winner range's
+        # 128-aligned floor instead of a fixed window grid): same visit
+        # count at a fraction of the window width -- the extraction dot's
+        # contraction dim and the one-hot build shrink 4-8x vs w1024.
+        # u1-style re-baselines ride the auto-knob defaults above.
+        ("patch4_c64_wa128", tbl_patch, {"chunk": 64, "p2_window": 128,
+                                         "p1_livelist": True,
+                                         "p2_dynamic": True,
+                                         "p2_anchor": True}),
+        ("patch4_c64_wa256", tbl_patch, {"chunk": 64, "p2_window": 256,
+                                         "p1_livelist": True,
+                                         "p2_dynamic": True,
+                                         "p2_anchor": True}),
+        ("patch4_c64_wa512", tbl_patch, {"chunk": 64, "p2_window": 512,
+                                         "p1_livelist": True,
+                                         "p2_dynamic": True,
+                                         "p2_anchor": True}),
+        ("patch2_c64_wa256", tbl_patch2, {"chunk": 64, "p2_window": 256,
+                                          "p1_livelist": True,
+                                          "p2_dynamic": True,
+                                          "p2_anchor": True}),
+        ("corner_c64_wa128", tbl_corner, {"chunk": 64, "p2_window": 128,
+                                          "p1_livelist": True,
+                                          "p2_dynamic": True,
+                                          "p2_anchor": True}),
+        ("corner_c64_wa256", tbl_corner, {"chunk": 64, "p2_window": 256,
+                                          "p1_livelist": True,
+                                          "p2_dynamic": True,
+                                          "p2_anchor": True}),
+        ("corner_c32_wa256", tbl_corner, {"chunk": 32, "p2_window": 256,
+                                          "p1_livelist": True,
+                                          "p2_dynamic": True,
+                                          "p2_anchor": True}),
+        ("patch4_c32_wa256", tbl_patch, {"chunk": 32, "p2_window": 256,
+                                         "p1_livelist": True,
+                                         "p2_dynamic": True,
+                                         "p2_anchor": True}),
     ]
     if args.only:
         names = set(args.only.split(","))
