@@ -326,6 +326,16 @@ def recover_state_dict(graph: OnnxGraph) -> dict[str, np.ndarray]:
     for (w, bias, src), hname in zip(heads, _head_names(heads)):
         put(f"{hname}.0.weight", w, src)
         if bias is not None:
+            if hname == "?" and not _is_named(bias[1]):
+                # '?' is the names-pass-through path (every head WEIGHT
+                # source is named, so the structural head name is unknown);
+                # an anonymous bias here has no recoverable key -- storing
+                # it under the junk '?.0.bias' would fail strict checks
+                # downstream with a misleading message.
+                raise RecoveryError(
+                    f"head weight '{src}' is named but its bias constant "
+                    "is anonymous; cannot infer the bias parameter name"
+                )
             bsrc = bias[1] if _is_named(bias[1]) else ""
             put(f"{hname}.0.bias", bias[0], bsrc)
     return out

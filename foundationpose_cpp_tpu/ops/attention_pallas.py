@@ -66,8 +66,14 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads, scale):
 
 
 def fits_vmem(num_heads: int, t: int, d: int, itemsize: int = 2) -> bool:
-    """Auto-policy guard: per-program footprint of the whole-head kernel."""
-    qkvo = 4 * num_heads * t * d * itemsize
+    """Auto-policy guard: per-program footprint of the whole-head kernel.
+
+    Pallas double-buffers the q/k/v/o blocks across grid programs (the
+    next program's inputs prefetch while this one computes), so those
+    blocks count TWICE against the ~16 MiB VMEM; only the in-kernel
+    f32 logits/softmax scratch is single-buffered.
+    """
+    qkvo = 2 * (4 * num_heads * t * d * itemsize)  # double-buffered blocks
     logits = t * t * 4 + 2 * t * 4  # f32 logits + softmax stats
     return qkvo + logits < _VMEM_BUDGET
 

@@ -1004,7 +1004,7 @@ def render_views_fused(
         # 128 -- sub-128 phase-1 chunks therefore pair with a 128-wide
         # phase-2 superwindow (p2_window % chunk == 0 keeps windows exact)
         p2_window = 128
-    if p2_window is not None and p2_window != chunk:
+    if p2_window is not None:
         # phase 2 visits p2_window-wide face windows. The width may be a
         # DIVISOR of chunk (narrower extraction dots) or a MULTIPLE of it
         # (superwindow: phase-1 culls at fine chunks while phase 2 pays
@@ -1012,7 +1012,11 @@ def render_views_fused(
         # 256 but phase 2 at 128 costs ~10 ms more, so 128/256 beats
         # either uniform choice). Any other width would silently skip
         # tail faces (winners there render black with fg=1), and Mosaic
-        # needs lane-aligned (128) power-of-two slice offsets.
+        # needs lane-aligned (128) power-of-two slice offsets -- enforced
+        # UNCONDITIONALLY (even when p2_window == chunk: an explicit
+        # chunk=64/p2_window=64 would otherwise slice face tables at
+        # sub-128 lane offsets, and p2_anchor's multiple_of(base, 128)
+        # promise requires p2_window % 128 == 0 to hold).
         ok_align = p2_window >= 128 and not (p2_window & (p2_window - 1))
         ok_ratio = (
             chunk % p2_window == 0 if p2_window < chunk

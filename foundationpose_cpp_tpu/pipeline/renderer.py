@@ -197,7 +197,6 @@ def render_and_transform(
     """
     ch, cw = cfg.crop_window_h, cfg.crop_window_w
     h, w = image_hw if image_hw is not None else rgb.shape[:2]
-    rasterizer = rasterize_fn if rasterize_fn is not None else ras.rasterize
 
     tfs = transforms.compute_crop_window_tf(
         poses, K, (ch, cw), crop_ratio, mesh.diameter
