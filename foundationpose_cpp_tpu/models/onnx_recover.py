@@ -40,9 +40,13 @@ are transposed back to torch (out, in) layout; Gemm honors transB. The
 result feeds convert.convert_state_dict, whose strict shape/structure
 checks reject any wrong guess loudly.
 
-Limitation: LayerNorm must appear as fused LayerNormalization nodes
-(opset >= 17); decomposed-LN exports fail with a clear error instead of
-guessing.
+LayerNorm anchors are recognized in BOTH exporter forms: fused
+``LayerNormalization`` nodes (opset >= 17) and the decomposed
+ReduceMean/Sub/Pow/ReduceMean/Add/Sqrt/Div/Mul/Add chain that every
+opset <= 16 export carries (the published-export era: torch 1.x/2.0 at
+opset 11-14 -- reference tools/cvt_onnx2trt.bash). Decomposed-LN
+ReduceMeans are excluded from the token-mean-pool detection that
+separates the encoder stack from the scorer's att_cross block.
 """
 
 from __future__ import annotations
@@ -143,6 +147,84 @@ class _Graph:
         return None
 
 
+def _find_decomposed_ln(
+    G: "_Graph", graph: OnnxGraph
+) -> tuple[dict[int, tuple], set[int]]:
+    """Locate opset<=16 decomposed LayerNorm chains.
+
+    torch decomposes ``F.layer_norm`` below opset 17 into
+
+        m  = ReduceMean(x)            s  = Sub(x, m)
+        v  = ReduceMean(Pow(s, 2))    sd = Sqrt(Add(v, eps))
+        y  = Add(Mul(Div(s, sd), scale), bias)
+
+    (older exporters sometimes square via ``Mul(s, s)``). Returns
+
+      * ``finishers``: id(Div node) -> ((scale, src), (bias, src)) --
+        the Div is the anchor; it sits at the same topological position
+        as a fused LayerNormalization node would;
+      * ``internal_rm``: ids of the two ReduceMeans inside each chain,
+        so the token-mean-pool detector ignores them.
+    """
+    finishers: dict[int, tuple] = {}
+    internal_rm: set[int] = set()
+    for node in graph.nodes:
+        if node.op_type != "Div" or len(node.inputs) != 2:
+            continue
+        sub = G.producer.get(node.inputs[0])
+        sqrt = G.producer.get(node.inputs[1])
+        if (
+            sub is None or sqrt is None
+            or sub.op_type != "Sub" or sqrt.op_type != "Sqrt"
+        ):
+            continue
+        rm1 = G.producer.get(sub.inputs[1])
+        if (
+            rm1 is None or rm1.op_type != "ReduceMean"
+            or rm1.inputs[0] != sub.inputs[0]
+        ):
+            continue
+        addeps = G.producer.get(sqrt.inputs[0])
+        if addeps is None or addeps.op_type != "Add":
+            continue
+        rm2 = next(
+            (p for i in addeps.inputs
+             if (p := G.producer.get(i)) is not None
+             and p.op_type == "ReduceMean"),
+            None,
+        )
+        if rm2 is None:
+            continue
+        sq = G.producer.get(rm2.inputs[0])
+        if sq is None:
+            continue
+        if sq.op_type == "Pow":
+            squared = sq.inputs[0]
+        elif sq.op_type == "Mul" and sq.inputs[0] == sq.inputs[1]:
+            squared = sq.inputs[0]
+        else:
+            continue
+        if squared != node.inputs[0]:  # must square the same (x - mean)
+            continue
+        # affine tail: Mul(div, scale) -> Add(mul, bias), both 1-D consts
+        cons = G.consumers.get(node.outputs[0], [])
+        if len(cons) != 1 or cons[0].op_type != "Mul":
+            continue
+        mul = cons[0]
+        scale = next(
+            (c for i in mul.inputs if i != node.outputs[0]
+             and (c := G.const(i)) is not None and c[0].ndim == 1),
+            None,
+        )
+        bias = G.bias_of(mul.outputs[0])
+        if scale is None or bias is None:
+            continue
+        finishers[id(node)] = (scale, bias)
+        internal_rm.add(id(rm1))
+        internal_rm.add(id(rm2))
+    return finishers, internal_rm
+
+
 def named_float_initializers(graph: OnnxGraph) -> dict[str, np.ndarray]:
     """The properly-named float tensors of a (partially) name-preserving
     export. Callers use this as the fallback when structural recovery
@@ -175,6 +257,8 @@ def recover_state_dict(graph: OnnxGraph) -> dict[str, np.ndarray]:
     for name, arr in graph.initializers.items():
         if _is_named(name) and np.issubdtype(arr.dtype, np.floating):
             out[name] = arr
+
+    ln_finishers, ln_internal_rm = _find_decomposed_ln(G, graph)
 
     conv_idx = -1
     reduce_mean_seen = False
@@ -242,9 +326,9 @@ def recover_state_dict(graph: OnnxGraph) -> dict[str, np.ndarray]:
         elif op == "ReduceMean":
             # the token mean-pool ends the encoder stack; layer groups
             # starting after it belong to the scorer's att_cross block.
-            # (Decomposed LN also uses ReduceMean, but fused-LN graphs --
-            # the supported kind -- contain exactly the one pool.)
-            reduce_mean_seen = True
+            # ReduceMeans inside decomposed-LN chains are excluded above.
+            if id(node) not in ln_internal_rm:
+                reduce_mean_seen = True
         elif op == "LayerNormalization":
             base = base_for(ln_idx // 2)
             norm = f"norm{ln_idx % 2 + 1}"
@@ -255,6 +339,15 @@ def recover_state_dict(graph: OnnxGraph) -> dict[str, np.ndarray]:
                 raise RecoveryError(f"{base}.{norm}: params not constant")
             put(f"{base}.{norm}.weight", s[0], s[1])
             put(f"{base}.{norm}.bias", b[0], b[1])
+        elif id(node) in ln_finishers:
+            # decomposed LayerNorm (opset <= 16); the Div anchors exactly
+            # where a fused LayerNormalization node would sit
+            base = base_for(ln_idx // 2)
+            norm = f"norm{ln_idx % 2 + 1}"
+            ln_idx += 1
+            (s, s_src), (b, b_src) = ln_finishers[id(node)]
+            put(f"{base}.{norm}.weight", s, s_src)
+            put(f"{base}.{norm}.bias", b, b_src)
         elif op in ("MatMul", "Gemm"):
             wb = G.const(node.inputs[1]) if len(node.inputs) > 1 else None
             if wb is None:

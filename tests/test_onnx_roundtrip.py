@@ -63,11 +63,12 @@ def _randomize(model, seed):
                 v.copy_(torch.randn(v.shape, generator=g) * 0.1)
 
 
-def _export(model, path, fold, outputs):
+def _export(model, path, fold, outputs, opset=None):
     from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
 
     orig = onnx_proto_utils._add_onnxscript_fn
     onnx_proto_utils._add_onnxscript_fn = lambda mb, co: mb
+    kw = {} if opset is None else {"opset_version": opset}
     try:
         torch.onnx.export(
             model,
@@ -78,6 +79,7 @@ def _export(model, path, fold, outputs):
             input_names=["render_input", "transf_input"],
             output_names=list(outputs),
             dynamic_axes={"render_input": {0: "n"}, "transf_input": {0: "n"}},
+            **kw,
         )
     finally:
         onnx_proto_utils._add_onnxscript_fn = orig
@@ -166,6 +168,123 @@ def test_convert_file_onnx_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(o1["trans"], np.float32), t_trans.numpy(),
         rtol=0.1, atol=0.05,
+    )
+
+
+# --- published-export-era graphs (opset <= 16) ----------------------------
+#
+# The real NVlabs exports the reference consumes (README.md:72,
+# tools/cvt_onnx2trt.bash) were produced by torch 1.x/2.0 at opset 11-14:
+# LayerNorm arrives DECOMPOSED (ReduceMean/Sub/Pow/Sqrt/Div/Mul/Add --
+# the fused LayerNormalization op only exists from opset 17), attention is
+# an unfused MatMul/Softmax chain, linears are MatMul+Add, and BN is
+# either folded into anonymous `onnx::Conv_*` weights (constant folding,
+# the exporter default) or present as BatchNormalization nodes. torch
+# 2.13 can't export below opset 14 (aten::unflatten needs 13, SDPA needs
+# 14), so opset 14 is the in-env floor -- it carries the identical
+# decomposed-LN/attention/MatMul+Add op patterns as 11-13.
+
+
+@pytest.mark.parametrize("fold", [False, True], ids=["unfolded_bn", "folded"])
+def test_refiner_opset14_era_roundtrip(tmp_path, fold):
+    """Refiner at the published-export-era opset: decomposed LN anchors,
+    MatMul+Add linears, unfused attention; BN unfolded or const-folded."""
+    torch.manual_seed(3)
+    model = torch_ref.build_refine_net(_cfg())
+    _randomize(model, seed=17)
+    path = str(tmp_path / "refiner_op14.onnx")
+    _export(model, path, fold, ("trans", "rot"), opset=14)
+
+    sd = convert.load_onnx_initializers(path)
+    params, cfg = convert.convert_state_dict(sd, "refiner", _cfg())
+    a, b = _inputs(n=3, seed=9)
+    t_trans, t_rot = _torch_out(model, a, b)
+    out = networks.apply_refiner(params, jnp.asarray(a), jnp.asarray(b), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["trans"]), t_trans.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rot"]), t_rot.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("fold", [False, True], ids=["unfolded_bn", "folded"])
+def test_scorer_opset14_era_roundtrip(tmp_path, fold):
+    """Scorer (att_cross present) at the published-export-era opset: the
+    decomposed-LN ReduceMeans must not confuse the mean-pool detector
+    that separates encoder layers from att_cross."""
+    torch.manual_seed(4)
+    model = torch_ref.build_score_net(_cfg(cross=True))
+    _randomize(model, seed=19)
+    path = str(tmp_path / "scorer_op14.onnx")
+    _export(model, path, fold, ("scores",), opset=14)
+
+    sd = convert.load_onnx_initializers(path)
+    assert any(k.startswith("att_cross") for k in sd)
+    params, cfg = convert.convert_state_dict(sd, "scorer", _cfg(cross=True))
+    a, b = _inputs(n=4, seed=21)
+    (t_scores,) = _torch_out(model, a, b)
+    out = networks.apply_scorer(params, jnp.asarray(a), jnp.asarray(b), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), t_scores.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def _anonymize(graph):
+    """Strip EVERY initializer name to `onnx::T_{i}` (worst-case export:
+    nothing name-preserving survives; recovery must be fully structural,
+    including the BatchNormalization tensors and LN scale/bias)."""
+    rename = {n: f"onnx::T_{i}" for i, n in enumerate(graph.initializers)}
+    graph.initializers = {rename[n]: a for n, a in graph.initializers.items()}
+    for node in graph.nodes:
+        node.inputs = [rename.get(i, i) for i in node.inputs]
+    return graph
+
+
+@pytest.mark.parametrize("fold", [False, True], ids=["unfolded_bn", "folded"])
+def test_scorer_opset14_fully_anonymous(tmp_path, fold):
+    """Every initializer de-named: the structural traversal alone must
+    recover the whole state dict (conv chain, BN stats when unfolded,
+    pos_embed, per-layer attention/FFN/LN, att_cross, score head)."""
+    from foundationpose_cpp_tpu.models import onnx_reader, onnx_recover
+
+    torch.manual_seed(5)
+    model = torch_ref.build_score_net(_cfg(cross=True))
+    _randomize(model, seed=23)
+    path = str(tmp_path / "scorer_anon.onnx")
+    _export(model, path, fold, ("scores",), opset=14)
+
+    graph = _anonymize(onnx_reader.parse_model(path))
+    sd = onnx_recover.recover_state_dict(graph)
+    params, cfg = convert.convert_state_dict(sd, "scorer", _cfg(cross=True))
+    a, b = _inputs(n=3, seed=25)
+    (t_scores,) = _torch_out(model, a, b)
+    out = networks.apply_scorer(params, jnp.asarray(a), jnp.asarray(b), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), t_scores.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_refiner_opset14_fully_anonymous(tmp_path):
+    from foundationpose_cpp_tpu.models import onnx_reader, onnx_recover
+
+    torch.manual_seed(6)
+    model = torch_ref.build_refine_net(_cfg())
+    _randomize(model, seed=27)
+    path = str(tmp_path / "refiner_anon.onnx")
+    _export(model, path, True, ("trans", "rot"), opset=14)
+
+    graph = _anonymize(onnx_reader.parse_model(path))
+    sd = onnx_recover.recover_state_dict(graph)
+    params, cfg = convert.convert_state_dict(sd, "refiner", _cfg())
+    a, b = _inputs(n=2, seed=29)
+    t_trans, t_rot = _torch_out(model, a, b)
+    out = networks.apply_refiner(params, jnp.asarray(a), jnp.asarray(b), cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["trans"]), t_trans.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rot"]), t_rot.numpy(), rtol=1e-4, atol=1e-5
     )
 
 
