@@ -568,23 +568,37 @@ class FoundationPose:
         target_name: str,
         frame_hw: tuple[int, int],
         refine_itr: int = 1,
+        depth_format: str = "u16mm",
     ):
         """Deployment fast path for per-frame tracking (AsyncTracker).
 
         Returns step(packed, pose) -> pose: a jitted Track whose input is
-        ONE packed uint8 frame buffer of shape (H*W*7,) -- rgb uint8 bytes
-        followed by depth float32 bytes, exactly the native FrameRing
-        layout -- and whose pose is a DEVICE array fed forward across
-        calls. A frame therefore costs exactly one H2D and zero D2H; JAX
-        dispatch is async, so back-to-back calls pipeline on the chip
-        (measured 1.7 ms/call chained on v5e, vs ~26 ms for the np-in /
-        np-out track() that pays a host round trip per call). The caller
-        reads poses back with np.asarray at its own (lagged) cadence.
+        ONE packed uint8 frame buffer -- rgb uint8 bytes followed by depth
+        bytes, exactly the native FrameRing layout -- and whose pose is a
+        DEVICE array fed forward across calls. A frame therefore costs
+        exactly one H2D and zero D2H; JAX dispatch is async, so
+        back-to-back calls pipeline on the chip (measured 1.7 ms/call
+        chained on v5e, vs ~26 ms for the np-in / np-out track() that pays
+        a host round trip per call). The caller reads poses back with
+        np.asarray at its own (lagged) cadence.
+
+        depth_format selects the depth wire encoding:
+          * "u16mm" (default): little-endian uint16 millimeters -- the
+            camera's native format (reference help_func.hpp:10-52 reads
+            16-bit PNG depth and divides by 1000). Frame = H*W*5 bytes,
+            29% less H2D than f32; mm->m conversion happens on-device.
+          * "f32": float32 meters, H*W*7 bytes -- for producers that
+            already hold filtered/metric depth at sub-mm precision.
+        Use packed_frame_bytes() for the exact buffer size.
         """
         if target_name not in self._meshes:
             raise KeyError(
                 f"[FoundationPose] unknown target '{target_name}'; "
                 f"registered: {sorted(self._meshes)}"
+            )
+        if depth_format not in ("u16mm", "f32"):
+            raise ValueError(
+                f"depth_format must be 'u16mm' or 'f32', got {depth_format!r}"
             )
         h, w = int(frame_hw[0]), int(frame_hw[1])
         if h > self._max_h or w > self._max_w:
@@ -599,9 +613,14 @@ class FoundationPose:
         @jax.jit
         def step(params_r, packed, pose):
             rgb = packed[:rgb_n].reshape(h, w, 3).astype(jnp.float32)
-            depth = jax.lax.bitcast_convert_type(
-                packed[rgb_n:].reshape(h, w, 4), jnp.float32
-            )
+            if depth_format == "u16mm":
+                depth = jax.lax.bitcast_convert_type(
+                    packed[rgb_n:].reshape(h, w, 2), jnp.uint16
+                ).astype(jnp.float32) * 1e-3
+            else:
+                depth = jax.lax.bitcast_convert_type(
+                    packed[rgb_n:].reshape(h, w, 4), jnp.float32
+                )
             poses = track_step(
                 mesh, params_r, rgb, depth, pose[None, :, :], self._K, itr,
                 self._cfg, self._net_cfg, self._rasterize_fn,
@@ -613,6 +632,41 @@ class FoundationPose:
             return step(self._refiner_params, packed, pose)
 
         return bound
+
+    @staticmethod
+    def packed_frame_bytes(frame_hw: tuple[int, int], depth_format: str = "u16mm") -> int:
+        """Byte size of one make_packed_tracker/FrameRing frame."""
+        h, w = int(frame_hw[0]), int(frame_hw[1])
+        per_px = {"u16mm": 5, "f32": 7}[depth_format]
+        return h * w * per_px
+
+    @staticmethod
+    def pack_frame(
+        rgb: np.ndarray, depth: np.ndarray, depth_format: str = "u16mm"
+    ) -> np.ndarray:
+        """Pack (rgb u8 (H,W,3), depth (H,W)) into one contiguous u8 buffer
+        matching make_packed_tracker's wire layout.
+
+        For "u16mm", f32-meter depth is quantized to whole millimeters
+        (the sensor's native resolution; values clip to [0, 65.535] m) --
+        pass a uint16 array to skip the conversion entirely.
+        """
+        rgb_flat = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1)
+        if depth_format == "u16mm":
+            if depth.dtype == np.uint16:
+                d = np.ascontiguousarray(depth)
+            else:
+                d = np.clip(
+                    np.nan_to_num(np.asarray(depth, np.float64)) * 1000.0,
+                    0.0, 65535.0,
+                ).round().astype(np.uint16)
+        elif depth_format == "f32":
+            d = np.ascontiguousarray(depth, dtype=np.float32)
+        else:
+            raise ValueError(
+                f"depth_format must be 'u16mm' or 'f32', got {depth_format!r}"
+            )
+        return np.concatenate([rgb_flat, d.view(np.uint8).reshape(-1)])
 
     def convert_pose_mesh2bbox(self, pose: np.ndarray, target_name: str) -> np.ndarray:
         """Pose frame change mesh -> oriented bbox (mesh_loader.hpp:75-81)."""

@@ -189,31 +189,43 @@ def test_convert_pose_mesh2bbox_api(scene, model):
     np.testing.assert_allclose(np.sort(dims), [0.1, 0.1, 0.1], rtol=1e-4)
 
 
-def test_packed_tracker_matches_track(scene, model):
+@pytest.mark.parametrize("depth_format", ["f32", "u16mm"])
+def test_packed_tracker_matches_track(scene, model, depth_format):
     """make_packed_tracker (the AsyncTracker fast path: one u8 buffer of
-    rgb bytes + bitcast f32 depth bytes, one H2D, zero D2H) must refine
-    identically to the public track() API on the same frame."""
+    rgb bytes + depth bytes, one H2D, zero D2H) must refine identically
+    to the public track() API on the same frame. The u16mm wire format
+    (depth as sensor-native uint16 millimeters, H*W*5 bytes) quantizes
+    depth to 1 mm, so its oracle is track() on the same quantized depth."""
+    from foundationpose_cpp_tpu.pipeline.foundationpose import FoundationPose
+
     _, _, pose, rgb, depth, mask = scene
-    step = model.make_packed_tracker("cube", (H, W))
-    packed = np.concatenate([
-        np.asarray(rgb, np.uint8).reshape(-1),
-        np.frombuffer(
-            np.ascontiguousarray(depth, np.float32).tobytes(), np.uint8
-        ),
-    ])
+    step = model.make_packed_tracker("cube", (H, W), depth_format=depth_format)
+    packed = FoundationPose.pack_frame(rgb, depth, depth_format)
+    assert packed.nbytes == FoundationPose.packed_frame_bytes(
+        (H, W), depth_format
+    ) == H * W * (5 if depth_format == "u16mm" else 7)
     got = np.asarray(
         step(jnp.asarray(packed), jnp.asarray(pose, jnp.float32))
     )
+    if depth_format == "u16mm":
+        depth = (
+            np.round(depth.astype(np.float64) * 1000).astype(np.uint16)
+            .astype(np.float32) * 1e-3
+        )
     want = np.asarray(model.track(rgb, depth, pose, "cube"))
     assert got.shape == (4, 4)
     np.testing.assert_allclose(got, want.reshape(4, 4), atol=1e-6)
 
 
-def test_packed_tracker_odd_dims_bitcast():
-    """Odd HxW: the depth byte region starts at a non-4-aligned offset of
-    the packed buffer (h*w*3 odd), exercising the u8->f32 bitcast path on
-    unaligned geometry. Parity vs track() on the same random frame."""
-    h, w = 37, 53  # h*w*3 = 5883, not a multiple of 4
+@pytest.mark.parametrize("depth_format", ["f32", "u16mm"])
+def test_packed_tracker_odd_dims_bitcast(depth_format):
+    """Odd HxW: the depth byte region starts at a non-word-aligned offset
+    of the packed buffer (h*w*3 odd), exercising the u8->f32 / u8->u16
+    bitcast paths on unaligned geometry. Parity vs track() on the same
+    random frame (quantized to mm for the u16 wire format)."""
+    from foundationpose_cpp_tpu.pipeline.foundationpose import FoundationPose
+
+    h, w = 37, 53  # h*w*3 = 5883, not a multiple of 4 (nor of 2)
     cube = procedural.textured_cube(size=0.1)
     k_odd = np.array(
         [[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]], np.float32
@@ -232,15 +244,17 @@ def test_packed_tracker_odd_dims_bitcast():
     rgb = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
     depth = rng.uniform(0.3, 0.7, size=(h, w)).astype(np.float32)
     pose = synthetic.default_pose(tz=0.5)
-    step = m.make_packed_tracker("cube", (h, w))
-    packed = np.concatenate([
-        rgb.reshape(-1),
-        np.frombuffer(depth.tobytes(), np.uint8),
-    ])
-    assert packed.nbytes == h * w * 7
+    step = m.make_packed_tracker("cube", (h, w), depth_format=depth_format)
+    packed = FoundationPose.pack_frame(rgb, depth, depth_format)
+    assert packed.nbytes == h * w * (5 if depth_format == "u16mm" else 7)
     got = np.asarray(
         step(jnp.asarray(packed), jnp.asarray(pose, jnp.float32))
     )
+    if depth_format == "u16mm":
+        depth = (
+            np.round(depth.astype(np.float64) * 1000).astype(np.uint16)
+            .astype(np.float32) * 1e-3
+        )
     want = np.asarray(m.track(rgb, depth, pose, "cube")).reshape(4, 4)
     np.testing.assert_allclose(got, want, atol=1e-6)
     assert np.isfinite(got).all()
