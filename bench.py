@@ -18,6 +18,8 @@ Baselines (BASELINE.md): Register 2.8 fps / Track 220 fps on RTX 4060.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -479,6 +481,27 @@ def main() -> None:
     _ = np.asarray(scan_render_loop(clipms))
     render_ms_scan = (time.perf_counter() - t0) / scan_iters * 1e3
 
+    # ---- multi-chip Register stage (VERDICT r4 #8): with >1 real device,
+    # time the sharded register on THIS process's mesh; on the 1-chip dev
+    # tunnel, run the 8-virtual-device CPU smoke in a subprocess (the
+    # virtual-device flag must precede jax import) -- correctness + the
+    # collective census; tests/test_parallel.py pins the schedule.
+    import subprocess
+
+    sharded_block: dict | None
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/bench_sharded.py"],
+            capture_output=True, text=True, timeout=480,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ,
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+                 "JAX_PLATFORMS": "cpu"},
+        )
+        sharded_block = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:  # missing toolchain / timeout: record, don't fail
+        sharded_block = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # ---- compiler-reported memory per mode (VERDICT r3 #4). Register is
     # the 32-frame scan executable (args include the stacked frames; peak
     # is dominated by the in-flight 252-batch intermediates), Track the
@@ -534,6 +557,7 @@ def main() -> None:
                 "load_ms": round(scan_load_ms, 1),
                 "render_ms_scan": round(render_ms_scan, 1),
             },
+            "sharded": sharded_block,
             "hbm_peak_gb": hbm_peak,
             "memory": {
                 "register_scan32": mem_register,

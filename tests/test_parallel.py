@@ -217,3 +217,82 @@ def test_sharded_track_batch_fused_matches_single_device(setup):
     # measured max_abs 6e-8: per-shard batch 2 vs 16 through the fused
     # interpret-mode renderer + refiner changes nothing but f32 noise
     np.testing.assert_allclose(out_s, out_1, rtol=0, atol=1e-6)
+
+
+def _collective_census(jitted, *args):
+    """Collective-op counts in the compiled (post-GSPMD) executable."""
+    import re
+
+    txt = jitted.lower(*args).compile().as_text()
+    kinds = ("all-gather", "all-reduce", "reduce-scatter", "all-to-all",
+             "collective-permute")
+    return {
+        k: len(re.findall(rf"\b{k}(?:-start)?\(", txt)) for k in kinds
+    }
+
+
+def _jitted_of(checked_fn):
+    """The jax.jit object inside make_sharded_register's checked() wrapper."""
+    cells = {v: c.cell_contents for v, c in
+             zip(checked_fn.__code__.co_freevars, checked_fn.__closure__)}
+    return cells["jitted"]
+
+
+def test_sharded_register_fused_collective_schedule(setup):
+    """Pin the PRODUCTION path's cross-chip traffic at the HLO level.
+
+    The fused (shard_map) Register must compile to all-gathers ONLY --
+    the hypothesis-shard result assembly plus the score gather feeding
+    the argmax -- with no all-to-all / collective-permute / reduce-scatter
+    resharding inserted behind our back. (Census on this config: 3
+    all-gathers; the unfused GSPMD-partitioned path, where XLA chooses
+    the schedule, compiles to ~33 all-gathers + 6 all-to-alls + 8
+    collective-permutes -- why shard_map is the production choice.)
+    """
+    mesh, rgb, depth, mask, params_r, params_s = setup
+    grid = icosphere.make_rotation_grid()
+    dev_mesh = sharding.make_hyp_mesh()
+    padded, valid = sharding.pad_grid(grid, len(jax.devices()))
+    args = (params_r, params_s, jnp.asarray(rgb), jnp.asarray(depth),
+            jnp.asarray(mask), jnp.asarray(padded), jnp.asarray(valid))
+
+    fn = sharding.make_sharded_register(
+        mesh, dev_mesh, jnp.asarray(K), 1, CFG, NET_CFG,
+        use_fused="interpret",
+    )
+    census = _collective_census(_jitted_of(fn), *args)
+    assert 1 <= census["all-gather"] <= 4, census
+    for kind in ("all-reduce", "reduce-scatter", "all-to-all",
+                 "collective-permute"):
+        assert census[kind] == 0, census
+
+
+def test_sharded_register_cross_attention_adds_one_gather(setup):
+    """att_cross needs every pooled hypothesis embedding on every chip:
+    exactly ONE extra all-gather (apply_scorer axis_name) vs the plain
+    scorer -- a few hundred KB over ICI, not a resharding storm."""
+    mesh, rgb, depth, mask, params_r, _ = setup
+    net_cfg_x = networks.NetConfig(
+        width1=8, width2=16, embed_dim=64, num_heads=4, crop_hw=32,
+        cross_attention=True,
+    )
+    params_sx = networks.init_scorer(7, net_cfg_x)
+    params_s = networks.init_scorer(1, NET_CFG)
+    grid = icosphere.make_rotation_grid()
+    dev_mesh = sharding.make_hyp_mesh()
+    padded, valid = sharding.pad_grid(grid, len(jax.devices()))
+
+    def census_for(ncfg, ps):
+        fn = sharding.make_sharded_register(
+            mesh, dev_mesh, jnp.asarray(K), 1, CFG, ncfg,
+            use_fused="interpret",
+        )
+        return _collective_census(
+            _jitted_of(fn), params_r, ps, jnp.asarray(rgb),
+            jnp.asarray(depth), jnp.asarray(mask), jnp.asarray(padded),
+            jnp.asarray(valid),
+        )
+
+    plain = census_for(NET_CFG, params_s)
+    cross = census_for(net_cfg_x, params_sx)
+    assert cross["all-gather"] == plain["all-gather"] + 1, (plain, cross)
