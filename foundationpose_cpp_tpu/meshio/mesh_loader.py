@@ -52,6 +52,12 @@ class MeshAsset:
     model_center: np.ndarray  # (3,) f32, AABB center
     orient_bounds: np.ndarray  # (4, 4) f32, PCA rotation + vertex mean
     dimensions: np.ndarray  # (3,) f32, extents in the PCA basis
+    # Optional declared rotational symmetries: (S, 4, 4) object-frame
+    # transforms (geometry/symmetry.py factories; right-multiplied like the
+    # reference's ClusterPoses symmetry_tfs, foundationpose_sampling.cpp:
+    # 152-162). None = asymmetric. Consumed by symmetry-aware metrics
+    # (utils.metrics.rotation_error_deg_sym) and evaluation.
+    symmetries: np.ndarray | None = None
 
     @property
     def num_vertices(self) -> int:

@@ -71,6 +71,14 @@ class SyntheticTrainConfig:
     # picks flipped poses at Register (measured: 8/12 flipped scenes)
     scorer_far_frac: float = 0.25
     scorer_far_min_deg: float = 90.0
+    # fraction of hypotheses replaced by EXACT principal-axis flips of the
+    # ground truth (90/180/270 degrees about a random object axis, plus a
+    # small residual): for box-like objects these are silhouette-identical
+    # poses that only texture disambiguates -- the random-axis far draws
+    # above almost never land on them, and a scorer that never contrasts
+    # a face flip against its texture picked the flipped cube6 pose at
+    # Register (r4 eval: register_flips 1/12, tracked mean 8.7 degrees)
+    scorer_sym_frac: float = 0.15
     hyps_per_scene: int = 8
     score_tau: float = 0.05  # soft-label temperature, units of diameter
 
@@ -177,6 +185,37 @@ def perturb_poses(
         jnp.einsum("nij,njk->nik", d_rot, gt_poses[:, :3, :3])
     )
     return hyp.at[:, :3, 3].add(t_noise)
+
+
+def principal_flip_poses(
+    key: jax.Array,
+    gt_poses: jnp.ndarray,
+    diameter: float,
+    residual_rot_deg: float = 12.0,
+    residual_trans_frac: float = 0.15,
+) -> jnp.ndarray:
+    """Hypotheses at exact 90/180/270-degree OBJECT-frame principal-axis
+    flips of the ground truth, with a small residual perturbation.
+
+    Right-multiplied like the reference's symmetry transforms
+    (foundationpose_sampling.cpp:152-162, ``cur_pose * tf``): for boxes
+    these are the silhouette-identical flips a scorer can only reject by
+    reading the texture -- the hardest negatives for Register's argmax.
+    """
+    n = gt_poses.shape[0]
+    ka, kq, kr = jax.random.split(key, 3)
+    axes = jnp.eye(3, dtype=jnp.float32)[jax.random.randint(ka, (n,), 0, 3)]
+    ang = jax.random.randint(kq, (n, 1), 1, 4).astype(jnp.float32) * (
+        jnp.pi / 2.0
+    )
+    r_flip = transforms.axis_angle_to_matrix(axes * ang)
+    flipped = gt_poses.at[:, :3, :3].set(
+        jnp.einsum("nij,njk->nik", gt_poses[:, :3, :3], r_flip)
+    )
+    return perturb_poses(
+        kr, flipped, residual_rot_deg, residual_trans_frac, diameter,
+        angle_power=2.0,
+    )
 
 
 def refine_targets(
@@ -328,7 +367,7 @@ def make_scorer_batch(
     """S scenes x K hypotheses with soft ADD labels (flattened to S*K)."""
     kh_ = tcfg.hyps_per_scene
     s = max(1, tcfg.batch // kh_)
-    kp, kh = jax.random.split(key)
+    kp, kh, kf, kb = jax.random.split(key, 4)
     gt = sample_scene_poses(kp, s, tcfg)  # (S,4,4)
     gt_rep = jnp.repeat(gt, kh_, axis=0)  # (S*K,4,4)
     hyp = perturb_poses(
@@ -336,6 +375,11 @@ def make_scorer_batch(
         mesh.diameter, angle_power=tcfg.scorer_angle_power,
         far_frac=tcfg.scorer_far_frac, far_min_deg=tcfg.scorer_far_min_deg,
     )
+    if tcfg.scorer_sym_frac > 0.0:
+        # texture-only-distinguishable hard negatives (see config note)
+        sym_hyp = principal_flip_poses(kf, gt_rep, mesh.diameter)
+        take = jax.random.bernoulli(kb, tcfg.scorer_sym_frac, (gt_rep.shape[0], 1, 1))
+        hyp = jnp.where(take, sym_hyp, hyp)
     rgb_obs, depth_obs = render_observed(
         mesh, gt, K, tcfg.frame_hw, tcfg.frame_hw, cfg, rasterize_fn, use_fused
     )

@@ -205,3 +205,83 @@ def test_convert_pose_mesh2bbox():
     tf_c = np.eye(4)
     tf_c[:3, 3] = -center
     np.testing.assert_allclose(got, pose @ tf_c @ ob, atol=1e-6)
+
+
+# --- rotational symmetry sets (geometry/symmetry.py) ------------------------
+
+
+def test_symmetry_box_group_sizes():
+    from foundationpose_cpp_tpu.geometry import symmetry
+
+    cube = symmetry.box()  # all extents equal: full rotation group
+    assert cube.shape == (24, 4, 4)
+    sq = symmetry.box((0.1, 0.1, 0.3))  # square cuboid: 8 rotations
+    assert sq.shape[0] == 8
+    gen = symmetry.box((0.1, 0.2, 0.3))  # generic box: identity + 3 flips
+    assert gen.shape[0] == 4
+    for group in (cube, sq, gen):
+        for s in group:
+            r = s[:3, :3]
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+            assert np.linalg.det(r) > 0.99
+        # identity is a member
+        assert min(np.abs(group - np.eye(4)).max(axis=(1, 2))) < 1e-6
+
+
+def test_symmetry_cyclic():
+    from foundationpose_cpp_tpu.geometry import symmetry
+
+    c6 = symmetry.axis_cyclic(2, 6)
+    assert c6.shape == (6, 4, 4)
+    # composing the generator 6 times returns to identity
+    g = c6[1][:3, :3]
+    acc = np.eye(3)
+    for _ in range(6):
+        acc = g @ acc
+    np.testing.assert_allclose(acc, np.eye(3), atol=1e-6)
+
+
+def test_rotation_error_deg_sym_cube_flip():
+    from foundationpose_cpp_tpu.geometry import symmetry
+    from foundationpose_cpp_tpu.utils import metrics
+
+    rng = np.random.default_rng(0)
+    # random gt rotation
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    r_gt = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+    gt = np.eye(4)
+    gt[:3, :3] = r_gt
+    cube = symmetry.box()
+    # estimate = gt flipped by a cube symmetry: 90 deg plain error, 0 sym
+    est = gt.copy()
+    est[:3, :3] = r_gt @ cube[5][:3, :3]
+    plain = metrics.rotation_error_deg(est, gt)
+    if plain < 1.0:  # element 5 could be identity-adjacent; pick another
+        est[:3, :3] = r_gt @ cube[10][:3, :3]
+        plain = metrics.rotation_error_deg(est, gt)
+    assert plain > 45.0
+    assert metrics.rotation_error_deg_sym(est, gt, cube) < 1e-4
+    # None / identity-only set reduces to the plain metric
+    assert metrics.rotation_error_deg_sym(est, gt, None) == plain
+    np.testing.assert_allclose(
+        metrics.rotation_error_deg_sym(est, gt, symmetry.identity()),
+        plain, atol=1e-6,
+    )
+
+
+def test_mesh_asset_symmetries_field():
+    from foundationpose_cpp_tpu.geometry import symmetry
+    from foundationpose_cpp_tpu.meshio import procedural
+
+    cube = procedural.textured_cube(size=0.1)
+    assert cube.symmetries is None  # default: asymmetric
+    import dataclasses
+
+    tagged = dataclasses.replace(cube, symmetries=symmetry.box())
+    assert tagged.symmetries.shape == (24, 4, 4)

@@ -249,3 +249,65 @@ def test_scorer_cross_attention_grouping():
         {k: v for k, v in params.items() if k != "att_cross"}, a, b, cfg_off
     )["scores"]
     assert abs(float((auto - base).sum())) > 1e-6
+
+
+def test_principal_flip_poses_exact_flips():
+    """With zero residual, every flip is an exact 90/180/270-degree
+    OBJECT-frame principal-axis rotation of the gt (right-multiplied,
+    the reference's symmetry-tf convention)."""
+    import jax
+
+    from foundationpose_cpp_tpu.training import synthetic as tr
+
+    gt = np.asarray(
+        tr.sample_scene_poses(
+            jax.random.PRNGKey(3), 16, tr.SyntheticTrainConfig()
+        )
+    )
+    hyp = np.asarray(
+        tr.principal_flip_poses(
+            jax.random.PRNGKey(4), jnp.asarray(gt), 0.1,
+            residual_rot_deg=0.0, residual_trans_frac=0.0,
+        )
+    )
+    assert hyp.shape == gt.shape
+    np.testing.assert_allclose(hyp[:, :3, 3], gt[:, :3, 3], atol=1e-6)
+    seen_angles = set()
+    for g, h in zip(gt, hyp):
+        rel = g[:3, :3].T @ h[:3, :3]  # object-frame flip
+        ang = np.degrees(
+            np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1))
+        )
+        assert min(abs(ang - 90), abs(ang - 180)) < 0.1, ang  # f32 near pi
+        seen_angles.add(round(ang / 90) * 90)
+        # axis-aligned: the relative rotation permutes the basis vectors
+        perm = np.abs(rel)
+        np.testing.assert_allclose(perm.sum(0), 1.0, atol=1e-5)
+        np.testing.assert_allclose(perm.sum(1), 1.0, atol=1e-5)
+    assert seen_angles == {90, 180}  # both flip magnitudes drawn
+
+
+def test_scorer_batch_contains_sym_negatives():
+    """scorer_sym_frac > 0 injects near-flip hypotheses: some hypotheses
+    sit within a few degrees of an exact principal flip of their gt."""
+    import jax
+
+    from foundationpose_cpp_tpu.meshio import procedural
+    from foundationpose_cpp_tpu.pipeline.renderer import MeshConstants
+    from foundationpose_cpp_tpu.training import synthetic as tr
+
+    cfg = FoundationPoseConfig(crop_window_h=32, crop_window_w=32)
+    tcfg = tr.SyntheticTrainConfig(
+        batch=32, frame_hw=64, scorer_sym_frac=0.5
+    )
+    mesh = MeshConstants.from_asset(procedural.face_colored_cube())
+    batch = tr.make_scorer_batch(
+        mesh, jax.random.PRNGKey(0), jnp.asarray(tr.default_intrinsics(tcfg)),
+        cfg, tcfg, use_fused=False,
+    )
+    s, k = batch["labels"].shape
+    assert batch["render_input"].shape[0] == s * k
+    # labels still normalized per scene
+    np.testing.assert_allclose(
+        np.asarray(batch["labels"]).sum(-1), 1.0, atol=1e-5
+    )

@@ -113,16 +113,24 @@ def evaluate(
             )
         )[0]
         pts = np.asarray(asset.vertices)
-        rows.append(
-            {
-                "register_rot_deg": metrics.rotation_error_deg(best, gt),
-                "register_t_err": metrics.translation_error(best, gt),
-                "register_adds": metrics.adds_error(best, gt, pts),
-                "tracked_rot_deg": metrics.rotation_error_deg(tracked, gt),
-                "tracked_t_err": metrics.translation_error(tracked, gt),
-                "tracked_adds": metrics.adds_error(tracked, gt, pts),
-            }
-        )
+        row = {
+            "register_rot_deg": metrics.rotation_error_deg(best, gt),
+            "register_t_err": metrics.translation_error(best, gt),
+            "register_adds": metrics.adds_error(best, gt, pts),
+            "tracked_rot_deg": metrics.rotation_error_deg(tracked, gt),
+            "tracked_t_err": metrics.translation_error(tracked, gt),
+            "tracked_adds": metrics.adds_error(tracked, gt, pts),
+        }
+        if getattr(asset, "symmetries", None) is not None:
+            # symmetry-aware geodesic (reference ClusterPoses convention):
+            # a declared-symmetry flip is not an error for this object
+            row["register_rot_deg_sym"] = metrics.rotation_error_deg_sym(
+                best, gt, asset.symmetries
+            )
+            row["tracked_rot_deg_sym"] = metrics.rotation_error_deg_sym(
+                tracked, gt, asset.symmetries
+            )
+        rows.append(row)
     if not rows:
         # n_scenes == 0 or every scene failed: report that instead of
         # IndexError-ing on rows[0] after a long training run
