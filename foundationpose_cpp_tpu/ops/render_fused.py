@@ -466,6 +466,7 @@ def _fused_kernel(
     p1_bf16=False,
     p1_unroll=1,
     p2_anchor=False,
+    views_pp=1,
 ):
     """Control flow is static fori + @pl.when by default (see module
     docstring); pixel state lives in VMEM scratch because predicated bodies
@@ -504,32 +505,7 @@ def _fused_kernel(
     fx = (2.0 * px.astype(jnp.float32) + 1.0) / img_w - 1.0
 
     t_lin = ty * n_tx + tx
-
-    def chunk_live(ci):
-        word = bits_ref[0, t_lin, ci // 32]
-        return ((word >> (ci % 32)) & 1) != 0
-
-    def edges(cf):
-        a0 = cf[:, 0:1] * fx + cf[:, 1:2] * fy + cf[:, 2:3]
-        a1 = cf[:, 3:4] * fx + cf[:, 4:5] * fy + cf[:, 5:6]
-        a2 = cf[:, 6:7] * fx + cf[:, 7:8] * fy + cf[:, 8:9]
-        return a0, a1, a2
-
     pos_mask = chunk - 1
-
-    # scratch rows: i[0]=packed depth|pos key, i[1]=winning chunk id
-    # Phase 1 is VPU-bandwidth-bound on (chunk, QS) temporaries, so the
-    # winner state is ONE packed int32 key per pixel: the low log2(chunk)
-    # mantissa bits of (z/w + 1.5) are replaced by the face's position
-    # inside its chunk. f32 bit patterns of positives are order-isomorphic,
-    # so a single min-reduce yields the nearest-depth winner with
-    # lowest-pos tie-breaking (the old formulation needed two reduces plus
-    # an equality/tie cascade per visit -- measured ~2x the VPU work).
-    # Depth is quantized by `chunk` ulps (~3e-5 in zw units at 128): winner
-    # flips only between near-coplanar faces, where either is correct.
-    state_i_ref[0:1] = jnp.full((1, LANES), _BIG_I, jnp.int32)
-    state_i_ref[1:2] = jnp.zeros((1, LANES), jnp.int32)
-
     # basis rows (fx, fy, 1) for evaluating affine quantities via MXU dots.
     # p1_bf16: the phase-1 plane-eval dot is K=12-bound on the MXU (the
     # contraction dim is 12 of a 128-wide tile, so the f32 pass runs at
@@ -560,182 +536,6 @@ def _fused_kernel(
 
     n_q = 4 if quadrant_split else 1
     basis12 = [_block_diag_basis(q * lane_span) for q in range(n_q)]
-
-    # ---- phase 1: nearest-depth winner per pixel --------------------------
-    def depth_chunk_quadrant(ci, cf, q, qs):
-        # all four affine planes in one MXU dot; the VPU keeps only
-        # coverage + one min-reduce. Edges are orientation-normalized in
-        # the prepass (covered = all >= 0); invalid/degenerate faces carry
-        # an always-negative edge constant, so no degeneracy guard is
-        # needed.
-        evall = jax.lax.dot_general(
-            cf[:, 0:12].astype(p1_dt), basis12[q],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (chunk, 4*span): [a0 | a1 | a2 | zw]
-        s = lane_span
-        a0 = evall[:, 0:s]
-        a1 = evall[:, s : 2 * s]
-        a2 = evall[:, 2 * s : 3 * s]
-        zw = evall[:, 3 * s : 4 * s]
-        # No per-pixel z-window test: faces with any corner z/w outside
-        # [-1, 1] are whole-face culled in the prepass (z/w is affine in
-        # screen space, so corner bounds bound every interior pixel), and
-        # invalid/pad faces carry an always-negative edge constant.
-        covered = jnp.minimum(jnp.minimum(a0, a1), a2) >= 0
-        # the zw plane arrives pre-biased by +1.5 (prepass folds it into
-        # gamma), so the bit pattern is directly order-isomorphic
-        zbits = jax.lax.bitcast_convert_type(zw, jnp.int32)
-        packed = (zbits & (~pos_mask)) + pos_iota
-        packed = jnp.where(covered, packed, _BIG_I)
-        local = jnp.min(packed, axis=0, keepdims=True)  # (1, span)
-        best = state_i_ref[0:1, qs : qs + lane_span]
-        take = local < best
-        state_i_ref[0:1, qs : qs + lane_span] = jnp.where(take, local, best)
-        winc = state_i_ref[1:2, qs : qs + lane_span]
-        state_i_ref[1:2, qs : qs + lane_span] = jnp.where(take, ci, winc)
-
-    def visit_chunk(ci, cf):
-        """One (tile, chunk) visit: quadrant hit test + phase-1 dispatch.
-        Shared by the static bitmask path and the dynamic livelist path so
-        the two schedules cannot diverge."""
-        if not quadrant_split:
-            depth_chunk_quadrant(ci, cf, 0, 0)
-            return
-        cy0 = cbb_ref[0, ci, 0]
-        cy1 = cbb_ref[0, ci, 1]
-        cx0 = cbb_ref[0, ci, 2]
-        cx1 = cbb_ref[0, ci, 3]
-        for q in range(4):
-            qy, qx = q // 2, q % 2
-            y0q = (ty * TILE_H + qy * 16).astype(jnp.float32)
-            x0q = (tx * TILE_W + qx * 16).astype(jnp.float32)
-            hit = (
-                (cy0 <= y0q + 15.0) & (cy1 >= y0q)
-                & (cx0 <= x0q + 15.0) & (cx1 >= x0q)
-            )
-
-            @pl.when(hit)
-            def _(q=q, ci=ci, cf=cf):
-                depth_chunk_quadrant(ci, cf, q, q * QS)
-
-    def depth_body(ci, carry):
-        @pl.when(chunk_live(ci))
-        def _():
-            visit_chunk(ci, coeff_ref[0, pl.ds(ci * chunk, chunk), :])
-
-        return carry
-
-    # fully unroll small chunk loops: the fori trip machinery costs ~50
-    # cycles per (tile, chunk) even when the chunk is dead, and typical
-    # meshes have only ~24 chunks (empty-scene floor measured 17.6 ms of a
-    # 47.6 ms phase 1); large meshes fall back to fori to bound compile time
-    if p1_livelist:
-        # dynamic trip count == live chunks for THIS tile: the precomputed
-        # SMEM list (count | ascending packed entries) replaces both the
-        # bitmask test and the dead-trip machinery; every iteration does
-        # real work
-        nlive = live_ref[0, t_lin, 0]
-
-        def visit_entry(k):
-            entry = live_ref[0, t_lin, 1 + k]
-            ci = entry >> 4
-            cf = coeff_ref[0, pl.ds(ci * chunk, chunk), :]
-            if quadrant_split:
-                # quadrant dispatch off the entry's precomputed hit mask:
-                # two scalar bit ops per quadrant instead of the bbox
-                # load/compare chain (see the prepass livelist comment)
-                for q in range(4):
-                    @pl.when((entry & (1 << q)) != 0)
-                    def _(q=q, ci=ci, cf=cf):
-                        depth_chunk_quadrant(ci, cf, q, q * QS)
-            else:
-                depth_chunk_quadrant(ci, cf, 0, 0)
-
-        if p1_unroll > 1:
-            # unrolled pairs overlap entry k+1's scalar decode with entry
-            # k's vector work (the loop body is a serial scalar->vector
-            # dependency chain); the tail entries run predicated
-            def live_unrolled(k, carry):
-                for u in range(p1_unroll):
-                    visit_entry(k * p1_unroll + u)
-                return carry
-
-            jax.lax.fori_loop(0, nlive // p1_unroll, live_unrolled, 0)
-            base = (nlive // p1_unroll) * p1_unroll
-            for u in range(p1_unroll - 1):
-                @pl.when(base + u < nlive)
-                def _(u=u):
-                    visit_entry(base + u)
-        else:
-            def live_body(k, carry):
-                visit_entry(k)
-                return carry
-
-            jax.lax.fori_loop(0, nlive, live_body, 0)
-    elif n_chunks <= _UNROLL_MAX:
-        if p1_group > 1:
-            # superchunk gate: one scalar bitmask test skips a whole group
-            # of dead chunk bodies (their bits share a 32-bit word as long
-            # as the group is aligned and <= 32 wide)
-            assert 32 % p1_group == 0
-            for g0 in range(0, n_chunks, p1_group):
-                gsz = min(p1_group, n_chunks - g0)
-                # int32 wraparound cast: a group starting at bit 24 has a
-                # mask with bit 31 set, which overflows a Python->int32
-                # literal (255 << 24 > 2**31 - 1)
-                gmask = int(np.uint32(((1 << gsz) - 1) << (g0 % 32)).astype(np.int32))
-                gword = bits_ref[0, t_lin, g0 // 32]
-
-                @pl.when((gword & gmask) != 0)
-                def _(g0=g0, gsz=gsz):
-                    for _ci in range(g0, g0 + gsz):
-                        depth_body(_ci, 0)
-        else:
-            for _ci in range(n_chunks):
-                depth_body(_ci, 0)
-    else:
-        jax.lax.fori_loop(0, n_chunks, depth_body, 0)
-    packed_key = state_i_ref[0:1]
-    win_chunk = state_i_ref[1:2]
-    fg_bool = packed_key < _BIG_I
-    best_pos = jnp.where(
-        fg_bool, win_chunk * chunk + (packed_key & pos_mask), _BIG
-    )
-    best_zw = jnp.where(
-        fg_bool,
-        jax.lax.bitcast_convert_type(
-            packed_key & (~pos_mask), jnp.float32
-        )
-        - 1.5,
-        jnp.inf,
-    )
-
-    # ---- phase 2: attribute resolve for winner chunks ---------------------
-    # Winners inside one 16x16 tile come from spatially adjacent faces, which
-    # Morton ordering places in a compact index range: two vector reduces give
-    # [smin, smax], and every per-iteration predicate below is a SCALAR range
-    # test (a vector any() per chunk per tile costs more than the attr math).
-    state_f_ref[1:9] = jnp.zeros((8, LANES), jnp.float32)
-    fg_mask = best_pos < _BIG
-
-    # phase 2 always works full-tile spans: quadrant-splitting it was
-    # measured SLOWER (84.4 vs 82.1 ms / 252 views) -- per-visit fixed cost
-    # outweighs the tighter winner ranges
-    n_span = 1
-    span = LANES // n_span
-    smin_q, smax_q = [], []
-    for q in range(n_span):
-        sl = slice(q * span, (q + 1) * span)
-        smin_q.append(
-            jnp.min(jnp.where(fg_mask[:, sl], best_pos[:, sl], _BIG))
-        )
-        smax_q.append(
-            jnp.max(jnp.where(fg_mask[:, sl], best_pos[:, sl], -1))
-        )
-    smin = jnp.min(jnp.stack(smin_q))
-    smax = jnp.max(jnp.stack(smax_q))
-
     # one-hot iota, hoisted out of the loop (constant); per visit the
     # compare is against the WINDOW-RELATIVE winner index so no (p2w,
     # span) add is spent shifting the iota. Phase 2 visits sub-windows of
@@ -744,202 +544,409 @@ def _fused_kernel(
     # fewer than 128 positions), so narrower windows skip dead table
     # columns that phase 1's coarser chunks must keep for culling economy.
     p2w = p2_window or chunk
+    span = LANES  # phase 2 works full-tile spans (n_span = 1, see below)
     pos_lanes = jax.lax.broadcasted_iota(jnp.int32, (p2w, span), 0)
 
-    def attr_resolve(table, lo, qs):
-        """Blend the winner's attributes into span lanes [qs, qs+span)."""
-        mf = (pos_lanes == (best_pos[:, qs : qs + span] - lo)).astype(
-            jnp.float32
-        )
-        ext = jax.lax.dot_general(
-            table, mf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (33|75, span): winner's scalars per pixel (0 where no winner)
+    def _render_one_view(vi):
+        # the whole per-view pipeline; everything above (lane
+        # geometry, MXU bases, iotas) is tile-constant and shared
+        # by all views_pp views of this program
+        def chunk_live(ci):
+            word = bits_ref[vi, t_lin, ci // 32]
+            return ((word >> (ci % 32)) & 1) != 0
 
-        fx_q = fx[:, qs : qs + span]
-        fy_q = fy[:, qs : qs + span]
-        sa0 = ext[0:1] * fx_q + ext[1:2] * fy_q + ext[2:3]
-        sa1 = ext[3:4] * fx_q + ext[4:5] * fy_q + ext[5:6]
-        sa2 = ext[6:7] * fx_q + ext[7:8] * fy_q + ext[8:9]
-        ssum = sa0 + sa1 + sa2
-        iw = jnp.where(
-            ssum != 0.0, 1.0 / jnp.where(ssum == 0.0, 1.0, ssum), 0.0
-        )
-        b0 = sa0 * iw
-        b1 = sa1 * iw
-        b2 = 1.0 - b0 - b1
 
-        hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
-        if not patch_k:
-            rows = [
-                b0 * ext[9 + c : 10 + c]
-                + b1 * ext[17 + c : 18 + c]
-                + b2 * ext[25 + c : 26 + c]
-                for c in range(7)  # r g b x y z d
-            ]
-        else:
-            # corner-major [x y z d] attr rows, then the patch table:
-            # 6 corner patch-coords + pk*pk texels per channel. Color is
-            # the hat-weight tensor-product blend of the winner's patch at
-            # the pixel's (s, t) -- bilinear on the patch grid, i.e. the
-            # reference's per-pixel texture fetch with the gather replaced
-            # by arithmetic on phase-2-extracted values.
-            pk = patch_k
-            xyzd = [
-                b0 * ext[9 + c : 10 + c]
-                + b1 * ext[13 + c : 14 + c]
-                + b2 * ext[17 + c : 18 + c]
-                for c in range(4)
-            ]
-            sb = 21  # 9 edge + 12 attr rows
-            s = (
-                b0 * ext[sb : sb + 1]
-                + b1 * ext[sb + 2 : sb + 3]
-                + b2 * ext[sb + 4 : sb + 5]
-            )
-            t = (
-                b0 * ext[sb + 1 : sb + 2]
-                + b1 * ext[sb + 3 : sb + 4]
-                + b2 * ext[sb + 5 : sb + 6]
-            )
-            s = jnp.clip(s, 0.0, pk - 1.0)
-            t = jnp.clip(t, 0.0, pk - 1.0)
-            wu = [
-                jnp.maximum(0.0, 1.0 - jnp.abs(s - float(j)))
-                for j in range(pk)
-            ]
-            wv = [
-                jnp.maximum(0.0, 1.0 - jnp.abs(t - float(i)))
-                for i in range(pk)
-            ]
-            tex0 = sb + 6
-            rgb = []
-            for c in range(3):
-                acc = None
-                for i in range(pk):
-                    r0 = tex0 + c * pk * pk + i * pk
-                    inner = None
-                    for j in range(pk):
-                        term = wu[j] * ext[r0 + j : r0 + j + 1]
-                        inner = term if inner is None else inner + term
-                    term = wv[i] * inner
-                    acc = term if acc is None else acc + term
-                rgb.append(acc)
-            rows = rgb + xyzd
-        prev = state_f_ref[1:9, qs : qs + span]
-        update = jnp.concatenate(
-            rows + [jnp.ones((1, span), jnp.float32)], axis=0
-        )
-        state_f_ref[1:9, qs : qs + span] = prev + update * hit
+        # scratch rows: i[0]=packed depth|pos key, i[1]=winning chunk id
+        # Phase 1 is VPU-bandwidth-bound on (chunk, QS) temporaries, so the
+        # winner state is ONE packed int32 key per pixel: the low log2(chunk)
+        # mantissa bits of (z/w + 1.5) are replaced by the face's position
+        # inside its chunk. f32 bit patterns of positives are order-isomorphic,
+        # so a single min-reduce yields the nearest-depth winner with
+        # lowest-pos tie-breaking (the old formulation needed two reduces plus
+        # an equality/tie cascade per visit -- measured ~2x the VPU work).
+        # Depth is quantized by `chunk` ulps (~3e-5 in zw units at 128): winner
+        # flips only between near-coplanar faces, where either is correct.
+        state_i_ref[0:1] = jnp.full((1, LANES), _BIG_I, jnp.int32)
+        state_i_ref[1:2] = jnp.zeros((1, LANES), jnp.int32)
 
-    def attr_window(slo):
-        # Everything a pixel needs from its winner is a PER-FACE scalar:
-        # 9 edge coefficients + corner attributes (+ the texel patch in
-        # patch mode). One one-hot matmul on the MXU extracts all of them
-        # at once -- the previous formulation did ~25 separate masked
-        # vector reduces per subchunk and dominated the kernel (226 of
-        # 356 ms measured).
-        # only the 9 edge rows are needed (z/w plane + pad rows of the
-        # coeff table are phase-1-only), so the extraction dot is
-        # (33, p2w) not (40, p2w); patch mode appends the patch rows for
-        # (21 + 6 + 3*pk^2, p2w)
-        cf = coeff_ref[0, pl.ds(slo, p2w), 0:9].T  # (9, p2w)
-        at = attr_ref[0, :, pl.ds(slo, p2w)]  # (24|16, p2w)
-        if patch_k:
-            at = at[0:12]  # [x y z d] x 3 corners (pad rows dropped)
-            pt = patch_ref[:, pl.ds(slo, p2w)]
-            pt = pt[0 : 6 + 3 * patch_k * patch_k]
-            # ONE f32 extraction dot for everything. A split variant
-            # (27-row f32 dot + separate bf16 texel dot) was measured
-            # SLOWER both with a per-visit cast (95 vs 89 ms) and with
-            # a bf16-stored table (95/175 vs 89/172) -- the second
-            # dot's fixed cost exceeds the MXU-rate saving.
-            table = jnp.concatenate([cf, at, pt], axis=0)  # (75, p2w)
-        else:
-            table = jnp.concatenate([cf, at], axis=0)  # (33, p2w)
-        attr_resolve(table, slo, 0)
 
-    # window-major: for p2w <= chunk this visits the same set as the old
-    # per-chunk sub-window nest; for p2w > chunk (superwindow) one visit
-    # covers several phase-1 chunks. The face tables are padded to a
-    # multiple of max(chunk, p2w), so every window slice is full-width.
-    n_windows = (n_chunks * chunk) // p2w
+        # ---- phase 1: nearest-depth winner per pixel --------------------------
+        def depth_chunk_quadrant(ci, cf, q, qs):
+            # all four affine planes in one MXU dot; the VPU keeps only
+            # coverage + one min-reduce. Edges are orientation-normalized in
+            # the prepass (covered = all >= 0); invalid/degenerate faces carry
+            # an always-negative edge constant, so no degeneracy guard is
+            # needed.
+            evall = jax.lax.dot_general(
+                cf[:, 0:12].astype(p1_dt), basis12[q],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (chunk, 4*span): [a0 | a1 | a2 | zw]
+            s = lane_span
+            a0 = evall[:, 0:s]
+            a1 = evall[:, s : 2 * s]
+            a2 = evall[:, 2 * s : 3 * s]
+            zw = evall[:, 3 * s : 4 * s]
+            # No per-pixel z-window test: faces with any corner z/w outside
+            # [-1, 1] are whole-face culled in the prepass (z/w is affine in
+            # screen space, so corner bounds bound every interior pixel), and
+            # invalid/pad faces carry an always-negative edge constant.
+            covered = jnp.minimum(jnp.minimum(a0, a1), a2) >= 0
+            # the zw plane arrives pre-biased by +1.5 (prepass folds it into
+            # gamma), so the bit pattern is directly order-isomorphic
+            zbits = jax.lax.bitcast_convert_type(zw, jnp.int32)
+            packed = (zbits & (~pos_mask)) + pos_iota
+            packed = jnp.where(covered, packed, _BIG_I)
+            local = jnp.min(packed, axis=0, keepdims=True)  # (1, span)
+            best = state_i_ref[0:1, qs : qs + lane_span]
+            take = local < best
+            state_i_ref[0:1, qs : qs + lane_span] = jnp.where(take, local, best)
+            winc = state_i_ref[1:2, qs : qs + lane_span]
+            state_i_ref[1:2, qs : qs + lane_span] = jnp.where(take, ci, winc)
 
-    def attr_body(wi, carry):
-        slo = wi * p2w
+        def visit_chunk(ci, cf):
+            """One (tile, chunk) visit: quadrant hit test + phase-1 dispatch.
+            Shared by the static bitmask path and the dynamic livelist path so
+            the two schedules cannot diverge."""
+            if not quadrant_split:
+                depth_chunk_quadrant(ci, cf, 0, 0)
+                return
+            cy0 = cbb_ref[vi, ci, 0]
+            cy1 = cbb_ref[vi, ci, 1]
+            cx0 = cbb_ref[vi, ci, 2]
+            cx1 = cbb_ref[vi, ci, 3]
+            for q in range(4):
+                qy, qx = q // 2, q % 2
+                y0q = (ty * TILE_H + qy * 16).astype(jnp.float32)
+                x0q = (tx * TILE_W + qx * 16).astype(jnp.float32)
+                hit = (
+                    (cy0 <= y0q + 15.0) & (cy1 >= y0q)
+                    & (cx0 <= x0q + 15.0) & (cx1 >= x0q)
+                )
 
-        @pl.when(
-            jnp.logical_not(debug_phase1_only)
-            & (smin < slo + p2w) & (smax >= slo)
-        )
-        def _():
-            attr_window(slo)
+                @pl.when(hit)
+                def _(q=q, ci=ci, cf=cf):
+                    depth_chunk_quadrant(ci, cf, q, q * QS)
 
-        return carry
+        def depth_body(ci, carry):
+            @pl.when(chunk_live(ci))
+            def _():
+                visit_chunk(ci, coeff_ref[vi, pl.ds(ci * chunk, chunk), :])
 
-    # phase 2 stays a fori loop: unrolling it was measured 6x SLOWER
-    # (199 ms full render) -- the per-iteration transpose + concat inside
-    # the predicated region blow up when replicated 24x
-    if p2_anchor and not debug_phase1_only:
-        # ANCHORED dynamic window: align the window base to the winner
-        # range itself ((smin // 128) * 128, the lane-alignment floor)
-        # instead of a fixed window grid. Winners inside one tile are
-        # Morton-local (typically spanning < 128 positions), so a narrow
-        # window anchored at the range covers them in ONE visit where the
-        # grid-aligned schedule needed a window wide enough to swallow any
-        # straddle -- the extraction dot's contraction dim and the one-hot
-        # build both shrink from p2w=1024 to 256 at identical visit
-        # counts. Windows are disjoint by construction (base + k*p2w), so
-        # each winner still resolves exactly once; the face tables carry
-        # extra tail padding (see pad_f) so the last window never runs
-        # off the end. A no-winner tile has smax=-1, base0 ~ 2^30 ->
-        # negative trip count -> zero trips.
-        base0 = (smin // 128) * 128
-        trips = (smax - base0) // p2w + 1
-
-        def attr_window_anchor(k, carry):
-            attr_window(pl.multiple_of(base0 + k * p2w, 128))
             return carry
 
-        jax.lax.fori_loop(0, trips, attr_window_anchor, 0)
-    elif p2_dynamic and not debug_phase1_only:
-        # winners span [smin, smax] (Morton-compact); loop ONLY the windows
-        # that intersect it -- dynamic bounds, typically 1-3 trips instead
-        # of n_chunks. A no-winner tile has smin=_BIG, smax=-1 -> lo > hi
-        # -> zero trips. Visits the same window set as the static predicate
-        # (smin < slo + p2w) & (smax >= slo).
-        def attr_window_dyn(k, carry):
-            attr_window(k * p2w)
+        # fully unroll small chunk loops: the fori trip machinery costs ~50
+        # cycles per (tile, chunk) even when the chunk is dead, and typical
+        # meshes have only ~24 chunks (empty-scene floor measured 17.6 ms of a
+        # 47.6 ms phase 1); large meshes fall back to fori to bound compile time
+        if p1_livelist:
+            # dynamic trip count == live chunks for THIS tile: the precomputed
+            # SMEM list (count | ascending packed entries) replaces both the
+            # bitmask test and the dead-trip machinery; every iteration does
+            # real work
+            nlive = live_ref[vi, t_lin, 0]
+
+            def visit_entry(k):
+                entry = live_ref[vi, t_lin, 1 + k]
+                ci = entry >> 4
+                cf = coeff_ref[vi, pl.ds(ci * chunk, chunk), :]
+                if quadrant_split:
+                    # quadrant dispatch off the entry's precomputed hit mask:
+                    # two scalar bit ops per quadrant instead of the bbox
+                    # load/compare chain (see the prepass livelist comment)
+                    for q in range(4):
+                        @pl.when((entry & (1 << q)) != 0)
+                        def _(q=q, ci=ci, cf=cf):
+                            depth_chunk_quadrant(ci, cf, q, q * QS)
+                else:
+                    depth_chunk_quadrant(ci, cf, 0, 0)
+
+            if p1_unroll > 1:
+                # unrolled pairs overlap entry k+1's scalar decode with entry
+                # k's vector work (the loop body is a serial scalar->vector
+                # dependency chain); the tail entries run predicated
+                def live_unrolled(k, carry):
+                    for u in range(p1_unroll):
+                        visit_entry(k * p1_unroll + u)
+                    return carry
+
+                jax.lax.fori_loop(0, nlive // p1_unroll, live_unrolled, 0)
+                base = (nlive // p1_unroll) * p1_unroll
+                for u in range(p1_unroll - 1):
+                    @pl.when(base + u < nlive)
+                    def _(u=u):
+                        visit_entry(base + u)
+            else:
+                def live_body(k, carry):
+                    visit_entry(k)
+                    return carry
+
+                jax.lax.fori_loop(0, nlive, live_body, 0)
+        elif n_chunks <= _UNROLL_MAX:
+            if p1_group > 1:
+                # superchunk gate: one scalar bitmask test skips a whole group
+                # of dead chunk bodies (their bits share a 32-bit word as long
+                # as the group is aligned and <= 32 wide)
+                assert 32 % p1_group == 0
+                for g0 in range(0, n_chunks, p1_group):
+                    gsz = min(p1_group, n_chunks - g0)
+                    # int32 wraparound cast: a group starting at bit 24 has a
+                    # mask with bit 31 set, which overflows a Python->int32
+                    # literal (255 << 24 > 2**31 - 1)
+                    gmask = int(np.uint32(((1 << gsz) - 1) << (g0 % 32)).astype(np.int32))
+                    gword = bits_ref[vi, t_lin, g0 // 32]
+
+                    @pl.when((gword & gmask) != 0)
+                    def _(g0=g0, gsz=gsz):
+                        for _ci in range(g0, g0 + gsz):
+                            depth_body(_ci, 0)
+            else:
+                for _ci in range(n_chunks):
+                    depth_body(_ci, 0)
+        else:
+            jax.lax.fori_loop(0, n_chunks, depth_body, 0)
+        packed_key = state_i_ref[0:1]
+        win_chunk = state_i_ref[1:2]
+        fg_bool = packed_key < _BIG_I
+        best_pos = jnp.where(
+            fg_bool, win_chunk * chunk + (packed_key & pos_mask), _BIG
+        )
+        best_zw = jnp.where(
+            fg_bool,
+            jax.lax.bitcast_convert_type(
+                packed_key & (~pos_mask), jnp.float32
+            )
+            - 1.5,
+            jnp.inf,
+        )
+
+        # ---- phase 2: attribute resolve for winner chunks ---------------------
+        # Winners inside one 16x16 tile come from spatially adjacent faces, which
+        # Morton ordering places in a compact index range: two vector reduces give
+        # [smin, smax], and every per-iteration predicate below is a SCALAR range
+        # test (a vector any() per chunk per tile costs more than the attr math).
+        state_f_ref[1:9] = jnp.zeros((8, LANES), jnp.float32)
+        fg_mask = best_pos < _BIG
+
+        # phase 2 always works full-tile spans: quadrant-splitting it was
+        # measured SLOWER (84.4 vs 82.1 ms / 252 views) -- per-visit fixed cost
+        # outweighs the tighter winner ranges
+        n_span = 1
+        span = LANES // n_span
+        smin_q, smax_q = [], []
+        for q in range(n_span):
+            sl = slice(q * span, (q + 1) * span)
+            smin_q.append(
+                jnp.min(jnp.where(fg_mask[:, sl], best_pos[:, sl], _BIG))
+            )
+            smax_q.append(
+                jnp.max(jnp.where(fg_mask[:, sl], best_pos[:, sl], -1))
+            )
+        smin = jnp.min(jnp.stack(smin_q))
+        smax = jnp.max(jnp.stack(smax_q))
+
+
+        def attr_resolve(table, lo, qs):
+            """Blend the winner's attributes into span lanes [qs, qs+span)."""
+            mf = (pos_lanes == (best_pos[:, qs : qs + span] - lo)).astype(
+                jnp.float32
+            )
+            ext = jax.lax.dot_general(
+                table, mf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (33|75, span): winner's scalars per pixel (0 where no winner)
+
+            fx_q = fx[:, qs : qs + span]
+            fy_q = fy[:, qs : qs + span]
+            sa0 = ext[0:1] * fx_q + ext[1:2] * fy_q + ext[2:3]
+            sa1 = ext[3:4] * fx_q + ext[4:5] * fy_q + ext[5:6]
+            sa2 = ext[6:7] * fx_q + ext[7:8] * fy_q + ext[8:9]
+            ssum = sa0 + sa1 + sa2
+            iw = jnp.where(
+                ssum != 0.0, 1.0 / jnp.where(ssum == 0.0, 1.0, ssum), 0.0
+            )
+            b0 = sa0 * iw
+            b1 = sa1 * iw
+            b2 = 1.0 - b0 - b1
+
+            hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
+            if not patch_k:
+                rows = [
+                    b0 * ext[9 + c : 10 + c]
+                    + b1 * ext[17 + c : 18 + c]
+                    + b2 * ext[25 + c : 26 + c]
+                    for c in range(7)  # r g b x y z d
+                ]
+            else:
+                # corner-major [x y z d] attr rows, then the patch table:
+                # 6 corner patch-coords + pk*pk texels per channel. Color is
+                # the hat-weight tensor-product blend of the winner's patch at
+                # the pixel's (s, t) -- bilinear on the patch grid, i.e. the
+                # reference's per-pixel texture fetch with the gather replaced
+                # by arithmetic on phase-2-extracted values.
+                pk = patch_k
+                xyzd = [
+                    b0 * ext[9 + c : 10 + c]
+                    + b1 * ext[13 + c : 14 + c]
+                    + b2 * ext[17 + c : 18 + c]
+                    for c in range(4)
+                ]
+                sb = 21  # 9 edge + 12 attr rows
+                s = (
+                    b0 * ext[sb : sb + 1]
+                    + b1 * ext[sb + 2 : sb + 3]
+                    + b2 * ext[sb + 4 : sb + 5]
+                )
+                t = (
+                    b0 * ext[sb + 1 : sb + 2]
+                    + b1 * ext[sb + 3 : sb + 4]
+                    + b2 * ext[sb + 5 : sb + 6]
+                )
+                s = jnp.clip(s, 0.0, pk - 1.0)
+                t = jnp.clip(t, 0.0, pk - 1.0)
+                wu = [
+                    jnp.maximum(0.0, 1.0 - jnp.abs(s - float(j)))
+                    for j in range(pk)
+                ]
+                wv = [
+                    jnp.maximum(0.0, 1.0 - jnp.abs(t - float(i)))
+                    for i in range(pk)
+                ]
+                tex0 = sb + 6
+                rgb = []
+                for c in range(3):
+                    acc = None
+                    for i in range(pk):
+                        r0 = tex0 + c * pk * pk + i * pk
+                        inner = None
+                        for j in range(pk):
+                            term = wu[j] * ext[r0 + j : r0 + j + 1]
+                            inner = term if inner is None else inner + term
+                        term = wv[i] * inner
+                        acc = term if acc is None else acc + term
+                    rgb.append(acc)
+                rows = rgb + xyzd
+            prev = state_f_ref[1:9, qs : qs + span]
+            update = jnp.concatenate(
+                rows + [jnp.ones((1, span), jnp.float32)], axis=0
+            )
+            state_f_ref[1:9, qs : qs + span] = prev + update * hit
+
+        def attr_window(slo):
+            # Everything a pixel needs from its winner is a PER-FACE scalar:
+            # 9 edge coefficients + corner attributes (+ the texel patch in
+            # patch mode). One one-hot matmul on the MXU extracts all of them
+            # at once -- the previous formulation did ~25 separate masked
+            # vector reduces per subchunk and dominated the kernel (226 of
+            # 356 ms measured).
+            # only the 9 edge rows are needed (z/w plane + pad rows of the
+            # coeff table are phase-1-only), so the extraction dot is
+            # (33, p2w) not (40, p2w); patch mode appends the patch rows for
+            # (21 + 6 + 3*pk^2, p2w)
+            cf = coeff_ref[vi, pl.ds(slo, p2w), 0:9].T  # (9, p2w)
+            at = attr_ref[vi, :, pl.ds(slo, p2w)]  # (24|16, p2w)
+            if patch_k:
+                at = at[0:12]  # [x y z d] x 3 corners (pad rows dropped)
+                pt = patch_ref[:, pl.ds(slo, p2w)]
+                pt = pt[0 : 6 + 3 * patch_k * patch_k]
+                # ONE f32 extraction dot for everything. A split variant
+                # (27-row f32 dot + separate bf16 texel dot) was measured
+                # SLOWER both with a per-visit cast (95 vs 89 ms) and with
+                # a bf16-stored table (95/175 vs 89/172) -- the second
+                # dot's fixed cost exceeds the MXU-rate saving.
+                table = jnp.concatenate([cf, at, pt], axis=0)  # (75, p2w)
+            else:
+                table = jnp.concatenate([cf, at], axis=0)  # (33, p2w)
+            attr_resolve(table, slo, 0)
+
+        # window-major: for p2w <= chunk this visits the same set as the old
+        # per-chunk sub-window nest; for p2w > chunk (superwindow) one visit
+        # covers several phase-1 chunks. The face tables are padded to a
+        # multiple of max(chunk, p2w), so every window slice is full-width.
+        n_windows = (n_chunks * chunk) // p2w
+
+        def attr_body(wi, carry):
+            slo = wi * p2w
+
+            @pl.when(
+                jnp.logical_not(debug_phase1_only)
+                & (smin < slo + p2w) & (smax >= slo)
+            )
+            def _():
+                attr_window(slo)
+
             return carry
 
-        jax.lax.fori_loop(smin // p2w, smax // p2w + 1, attr_window_dyn, 0)
-    else:
-        jax.lax.fori_loop(0, n_windows, attr_body, 0)
-    st = state_f_ref[1:9]
-    r, g, b = st[0:1], st[1:2], st[2:3]
-    x, y, z, d = st[3:4], st[4:5], st[5:6], st[6:7]
-    fg = (best_pos < _BIG).astype(jnp.float32)
+        # phase 2 stays a fori loop: unrolling it was measured 6x SLOWER
+        # (199 ms full render) -- the per-iteration transpose + concat inside
+        # the predicated region blow up when replicated 24x
+        if p2_anchor and not debug_phase1_only:
+            # ANCHORED dynamic window: align the window base to the winner
+            # range itself ((smin // 128) * 128, the lane-alignment floor)
+            # instead of a fixed window grid. Winners inside one tile are
+            # Morton-local (typically spanning < 128 positions), so a narrow
+            # window anchored at the range covers them in ONE visit where the
+            # grid-aligned schedule needed a window wide enough to swallow any
+            # straddle -- the extraction dot's contraction dim and the one-hot
+            # build both shrink from p2w=1024 to 256 at identical visit
+            # counts. Windows are disjoint by construction (base + k*p2w), so
+            # each winner still resolves exactly once; the face tables carry
+            # extra tail padding (see pad_f) so the last window never runs
+            # off the end. A no-winner tile has smax=-1, base0 ~ 2^30 ->
+            # negative trip count -> zero trips.
+            base0 = (smin // 128) * 128
+            trips = (smax - base0) // p2w + 1
 
-    # ---- shade (renfine_color) + clamp ------------------------------------
-    light = (w_ambient + d * w_diffuse) * fg
-    r = jnp.clip(r * light, 0.0, 1.0)
-    g = jnp.clip(g * light, 0.0, 1.0)
-    b = jnp.clip(b * light, 0.0, 1.0)
+            def attr_window_anchor(k, carry):
+                attr_window(pl.multiple_of(base0 + k * p2w, 128))
+                return carry
 
-    # ---- threshold_and_downscale_pointcloud --------------------------------
-    invalid = z < min_depth
-    xs = (x - trans_ref[0, 0, 0]) * inv_downscale
-    ys_ = (y - trans_ref[0, 0, 1]) * inv_downscale
-    zs = (z - trans_ref[0, 0, 2]) * inv_downscale
-    xs = jnp.where((jnp.abs(xs) > max_depth) | invalid, 0.0, xs)
-    ys_ = jnp.where((jnp.abs(ys_) > max_depth) | invalid, 0.0, ys_)
-    zs = jnp.where((jnp.abs(zs) > max_depth) | invalid, 0.0, zs)
+            jax.lax.fori_loop(0, trips, attr_window_anchor, 0)
+        elif p2_dynamic and not debug_phase1_only:
+            # winners span [smin, smax] (Morton-compact); loop ONLY the windows
+            # that intersect it -- dynamic bounds, typically 1-3 trips instead
+            # of n_chunks. A no-winner tile has smin=_BIG, smax=-1 -> lo > hi
+            # -> zero trips. Visits the same window set as the static predicate
+            # (smin < slo + p2w) & (smax >= slo).
+            def attr_window_dyn(k, carry):
+                attr_window(k * p2w)
+                return carry
 
-    out = jnp.concatenate(
-        [r, g, b, xs, ys_, zs, best_zw * fg, fg], axis=0
-    )  # (8, LANES)
-    out_ref[0, 0, 0] = out
+            jax.lax.fori_loop(smin // p2w, smax // p2w + 1, attr_window_dyn, 0)
+        else:
+            jax.lax.fori_loop(0, n_windows, attr_body, 0)
+        st = state_f_ref[1:9]
+        r, g, b = st[0:1], st[1:2], st[2:3]
+        x, y, z, d = st[3:4], st[4:5], st[5:6], st[6:7]
+        fg = (best_pos < _BIG).astype(jnp.float32)
+
+        # ---- shade (renfine_color) + clamp ------------------------------------
+        light = (w_ambient + d * w_diffuse) * fg
+        r = jnp.clip(r * light, 0.0, 1.0)
+        g = jnp.clip(g * light, 0.0, 1.0)
+        b = jnp.clip(b * light, 0.0, 1.0)
+
+        # ---- threshold_and_downscale_pointcloud --------------------------------
+        invalid = z < min_depth
+        xs = (x - trans_ref[vi, 0, 0]) * inv_downscale
+        ys_ = (y - trans_ref[vi, 0, 1]) * inv_downscale
+        zs = (z - trans_ref[vi, 0, 2]) * inv_downscale
+        xs = jnp.where((jnp.abs(xs) > max_depth) | invalid, 0.0, xs)
+        ys_ = jnp.where((jnp.abs(ys_) > max_depth) | invalid, 0.0, ys_)
+        zs = jnp.where((jnp.abs(zs) > max_depth) | invalid, 0.0, zs)
+
+        out = jnp.concatenate(
+            [r, g, b, xs, ys_, zs, best_zw * fg, fg], axis=0
+        )  # (8, LANES)
+        out_ref[vi, 0, 0] = out
+
+    # static unroll over the program's views: views_pp > 1
+    # amortizes the tile-constant setup above (basis build +
+    # (p2w, span) one-hot iota, ~1 MB of VMEM writes) across
+    # several views that share this tile
+    for _vi in range(views_pp):
+        _render_one_view(_vi)
 
 
 # ---------------------------------------------------------------------------
@@ -953,6 +960,7 @@ def _fused_kernel(
         "w_ambient", "w_diffuse", "min_depth", "max_depth", "cull_backfaces",
         "quadrant_split", "p2_window", "debug_prepass_only", "p1_group",
         "p1_livelist", "p2_dynamic", "p1_bf16", "p1_unroll", "p2_anchor",
+        "views_pp",
     ),
 )
 def render_views_fused(
@@ -978,6 +986,7 @@ def render_views_fused(
     p1_bf16: bool = False,
     p1_unroll: int = 1,
     p2_anchor: bool = False,
+    views_pp: int = 1,
 ) -> jnp.ndarray:
     """Full render branch for N poses -> (N, img_h, img_w, 6) [rgb|xyz].
 
@@ -1027,6 +1036,8 @@ def render_views_fused(
                 f"p2_window ({p2_window}) must be a power of two >= 128 "
                 f"that divides or is a multiple of chunk ({chunk})"
             )
+    if views_pp < 1:
+        raise ValueError(f"views_pp ({views_pp}) must be >= 1")
     if p1_group > 1 and 32 % p1_group != 0:
         raise ValueError(f"p1_group ({p1_group}) must divide 32")
     if p1_livelist and p1_group > 1:
@@ -1346,6 +1357,7 @@ def render_views_fused(
         p1_bf16=p1_bf16,
         p1_unroll=p1_unroll,
         p2_anchor=p2_anchor,
+        views_pp=views_pp,
     )
 
     cbb = jnp.stack([cy0, cy1, cx0, cx1], axis=-1)  # (N, n_chunks, 4)
@@ -1366,16 +1378,17 @@ def render_views_fused(
         # contracts the face axis directly)
         coeffs_packed = coeff_g.transpose(1, 2, 0)  # (G, F_pad, 16)
         attrs_packed = attr_g.transpose(1, 0, 2)  # (G, attr_rows, F_pad)
+        vpp = views_pp
         in_specs = [
-            pl.BlockSpec((1, f_pad, 16), lambda i, t, u: (i, 0, 0),
+            pl.BlockSpec((vpp, f_pad, 16), lambda i, t, u: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, attr_rows, f_pad), lambda i, t, u: (i, 0, 0),
+            pl.BlockSpec((vpp, attr_rows, f_pad), lambda i, t, u: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles, w32), lambda i, t, u: (i, 0, 0),
+            pl.BlockSpec((vpp, n_tiles, w32), lambda i, t, u: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_chunks, 4), lambda i, t, u: (i, 0, 0),
+            pl.BlockSpec((vpp, n_chunks, 4), lambda i, t, u: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8), lambda i, t, u: (i, 0, 0),
+            pl.BlockSpec((vpp, 1, 8), lambda i, t, u: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ]
         operands = [coeffs_packed, attrs_packed, bits_g, cbb_g, trans_g]
@@ -1388,17 +1401,17 @@ def render_views_fused(
             operands.append(patch_tab)
         if p1_livelist:
             in_specs.append(
-                pl.BlockSpec((1, n_tiles, 1 + n_chunks),
+                pl.BlockSpec((vpp, n_tiles, 1 + n_chunks),
                              lambda i, t, u: (i, 0, 0),
                              memory_space=pltpu.SMEM)
             )
             operands.append(live_g)
         return pl.pallas_call(
             kernel,
-            grid=(g, n_ty, n_tx),
+            grid=(g // vpp, n_ty, n_tx),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, 1, 8, LANES), lambda i, t, u: (i, t, u, 0, 0),
+                (vpp, 1, 1, 8, LANES), lambda i, t, u: (i, t, u, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
@@ -1420,7 +1433,7 @@ def render_views_fused(
     # (f_pad*(16+24)*4*2 bytes) and XLA may place the call's whole
     # (g, TY, TX, 8, LANES) result in VMEM, which scales with g -- a 32k-face
     # mesh (the subdivision policy cap) OOMs at g=10 but runs at g<=2.
-    table_bytes = f_pad * (16 + attr_rows) * 4 * 2
+    table_bytes = f_pad * (16 + attr_rows) * 4 * 2 * views_pp
     if patch_k:  # constant block, but budget a double-buffered copy
         table_bytes += patch_rows_p * f_pad * 4 * 2
     out_bytes_per_view = n_ty * n_tx * 8 * LANES * 4
@@ -1434,8 +1447,10 @@ def render_views_fused(
             group_vmem,
         ),
     )
+    group_max = max(views_pp, group_max - group_max % views_pp)
     n_groups_min = -(-n // group_max)
     group = -(-n // n_groups_min)
+    group = -(-group // views_pp) * views_pp  # grid g must divide by vpp
     pad_n = (-n) % group
     n_pad = n + pad_n
 

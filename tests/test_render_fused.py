@@ -369,3 +369,19 @@ def test_auto_kernel_knobs_policy():
     assert tables.kernel_p2_window == auto_kernel_knobs(
         tables.num_faces
     )["p2_window"]
+
+
+def test_views_pp_output_invariant():
+    """views_pp (several views per Pallas program, amortizing the
+    tile-constant MXU-basis/iota setup) is a SCHEDULING knob: the image
+    must be bit-identical, including when views_pp does not divide the
+    view count."""
+    asset, mesh, tables, poses, clipm = _setup(n_poses=3)
+    ref = np.asarray(render_views_fused(
+        tables, poses, clipm, CROP, CROP, interpret=True,
+    ))
+    for vpp in (2, 3):
+        got = np.asarray(render_views_fused(
+            tables, poses, clipm, CROP, CROP, interpret=True, views_pp=vpp,
+        ))
+        np.testing.assert_array_equal(got, ref)

@@ -107,9 +107,14 @@ def test_trained_scorer_ranks_by_alignment(mesh_name, mesh):
     Kj = jnp.asarray(tr.default_intrinsics(TCFG))
     batch = tr.make_scorer_batch(
         mesh, jax.random.PRNGKey(11), Kj, CFG,
-        # uniform perturbation magnitudes: the interpretable eval mix
+        # uniform perturbation magnitudes: the interpretable eval mix.
+        # scorer_sym_frac=0 pins the PRE-round-5 distribution these
+        # legacy per-object checkpoints were trained on -- principal-flip
+        # negatives are covered by the retrained multi weights
+        # (tests/test_multi_weights.py, weights/eval_multi_full.json)
         tr.SyntheticTrainConfig(
-            batch=64, hyps_per_scene=8, scorer_angle_power=1.0
+            batch=64, hyps_per_scene=8, scorer_angle_power=1.0,
+            scorer_sym_frac=0.0,
         ),
     )
     s, k = batch["labels"].shape
