@@ -443,9 +443,13 @@ def make_mesh_asset(
     texcoords: np.ndarray | None = None,
     vertex_normals: np.ndarray | None = None,
     texture: np.ndarray | None = None,
+    symmetries: np.ndarray | None = None,
 ) -> MeshAsset:
     """Build a MeshAsset from in-memory arrays (for procedural/test meshes and
-    BundleSDF-style pipelines that hand over reconstructed geometry)."""
+    BundleSDF-style pipelines that hand over reconstructed geometry).
+
+    symmetries: optional (S, 4, 4) declared rotational-symmetry set
+    (geometry/symmetry.py factories) for visually pose-ambiguous objects."""
     vertices = np.asarray(vertices, dtype=np.float32)
     faces = np.asarray(faces, dtype=np.int32)
     if texcoords is None:
@@ -468,4 +472,8 @@ def make_mesh_asset(
         model_center=aabb_center(vertices),
         orient_bounds=obb,
         dimensions=dims,
+        symmetries=(
+            None if symmetries is None
+            else np.asarray(symmetries, dtype=np.float32)
+        ),
     )

@@ -29,7 +29,13 @@ def checkerboard_texture(size: int = 64, squares: int = 8) -> np.ndarray:
 
 
 def textured_cube(name: str = "cube", size: float = 0.1) -> MeshAsset:
-    """Axis-aligned cube with per-face UVs (24 verts, 12 tris)."""
+    """Axis-aligned cube with per-face UVs (24 verts, 12 tris).
+
+    Every face carries the IDENTICAL checkerboard, so the object is
+    visually indistinguishable under the full 24-element cube rotation
+    group -- it declares that set (MeshAsset.symmetries), and
+    symmetry-aware metrics (rotation_error_deg_sym) score it modulo the
+    group. face_colored_cube is the pose-UNIQUE variant."""
     s = size / 2.0
     verts, uvs, normals, faces = [], [], [], []
     # (axis, sign) per face; build 4 corners each. The outward winding
@@ -57,6 +63,8 @@ def textured_cube(name: str = "cube", size: float = 0.1) -> MeshAsset:
                 faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
             else:
                 faces += [[base, base + 2, base + 1], [base, base + 3, base + 2]]
+    from foundationpose_cpp_tpu.geometry import symmetry
+
     return make_mesh_asset(
         name,
         np.asarray(verts, np.float32),
@@ -64,6 +72,7 @@ def textured_cube(name: str = "cube", size: float = 0.1) -> MeshAsset:
         np.asarray(uvs, np.float32),
         np.asarray(normals, np.float32),
         checkerboard_texture(),
+        symmetries=symmetry.box(),
     )
 
 

@@ -276,12 +276,12 @@ def test_rotation_error_deg_sym_cube_flip():
 
 
 def test_mesh_asset_symmetries_field():
-    from foundationpose_cpp_tpu.geometry import symmetry
     from foundationpose_cpp_tpu.meshio import procedural
 
+    # the checkerboard cube is visually identical under the full cube
+    # rotation group and declares it; the face-colored cube is
+    # pose-unique and must NOT declare symmetries
     cube = procedural.textured_cube(size=0.1)
-    assert cube.symmetries is None  # default: asymmetric
-    import dataclasses
-
-    tagged = dataclasses.replace(cube, symmetries=symmetry.box())
-    assert tagged.symmetries.shape == (24, 4, 4)
+    assert cube.symmetries is not None and cube.symmetries.shape == (24, 4, 4)
+    cube6 = procedural.face_colored_cube()
+    assert cube6.symmetries is None

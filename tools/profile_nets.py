@@ -107,6 +107,26 @@ def main() -> None:
 
     timed("encodeAB", enc_ab, feats_a, feats_b)
 
+    def enc_ab_res0(fa, fb):
+        ab = jnp.concatenate([fa, fb], axis=-1)
+        return networks._res_block(
+            ab, params_r["encodeAB"]["res0"]
+        ).sum().astype(jnp.float32)
+
+    timed("  res0 (2x 3x3 256ch @40)", enc_ab_res0, feats_a, feats_b)
+
+    s3_ = hw // 8
+    feats_ab = jnp.asarray(
+        rng.uniform(size=(it, n, s3_, s3_, cfg.embed_dim)).astype(np.float32)
+    ).astype(cfg.dtype)
+
+    def enc_ab_res1(fab):
+        return networks._res_block(
+            fab, params_r["encodeAB"]["res1"]
+        ).sum().astype(jnp.float32)
+
+    timed("  res1 (2x 3x3 512ch @20)", enc_ab_res1, feats_ab)
+
     s3 = hw // 8
     toks = jnp.asarray(
         rng.uniform(size=(it, n, s3 * s3, cfg.embed_dim)).astype(np.float32)
@@ -118,6 +138,25 @@ def main() -> None:
         return t.sum().astype(jnp.float32)
 
     timed("transformer", xform, toks)
+
+    layer0 = params_r["encoder"][0]
+
+    def attn_only(t):
+        return networks._self_attention(
+            t, layer0["attn"], cfg.num_heads
+        ).sum().astype(jnp.float32)
+
+    timed("  self-attention (qkv+core+proj)", attn_only, toks)
+
+    def mlp_ln_only(t):
+        x = networks._layer_norm(t, layer0["ln1_s"], layer0["ln1_b"])
+        h = jax.nn.relu(networks._linear(x, layer0["mlp_w1"], layer0["mlp_b1"]))
+        h = networks._linear(h, layer0["mlp_w2"], layer0["mlp_b2"])
+        return networks._layer_norm(
+            x + h, layer0["ln2_s"], layer0["ln2_b"]
+        ).sum().astype(jnp.float32)
+
+    timed("  FFN + 2x LayerNorm", mlp_ln_only, toks)
 
     def full(a, b):
         o = networks.apply_refiner(params_r, a, b, cfg)

@@ -142,9 +142,14 @@ def evaluate(
     out = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
     for k in ("register_rot_deg", "tracked_rot_deg"):
         out[k + "_median"] = float(np.median([r[k] for r in rows]))
-    # geometric-symmetry flips the scorer failed to reject (cube: 90 deg)
+    # geometric-symmetry flips the scorer failed to reject (cube: 90 deg).
+    # For assets with DECLARED symmetries a symmetry-equivalent pose is
+    # not a flip -- count on the symmetry-aware geodesic there.
     out["register_flips"] = int(
-        sum(r["register_rot_deg"] > 45.0 for r in rows)
+        sum(
+            r.get("register_rot_deg_sym", r["register_rot_deg"]) > 45.0
+            for r in rows
+        )
     )
     out["n_scenes"] = n_scenes
     out["register_failures"] = failures
