@@ -258,3 +258,29 @@ def test_packed_tracker_odd_dims_bitcast(depth_format):
     want = np.asarray(m.track(rgb, depth, pose, "cube")).reshape(4, 4)
     np.testing.assert_allclose(got, want, atol=1e-6)
     assert np.isfinite(got).all()
+
+
+def test_pack_frame_u16_edge_cases():
+    """mm quantization clips to the u16 range and flushes NaN holes to 0;
+    a u16 sensor frame passes through byte-identical."""
+    from foundationpose_cpp_tpu.pipeline.foundationpose import FoundationPose
+
+    rgb = np.zeros((2, 3, 3), np.uint8)
+    depth = np.array(
+        [[0.0, np.nan, 1.2345], [70.0, -0.5, 0.0004]], np.float32
+    )
+    packed = FoundationPose.pack_frame(rgb, depth, "u16mm")
+    mm = packed[rgb.size:].view(np.uint16).reshape(2, 3)
+    assert mm[0, 0] == 0 and mm[0, 1] == 0          # zero + NaN hole
+    assert mm[0, 2] in (1234, 1235)                 # 1.2345 m -> ~1234.5 mm
+    assert mm[1, 0] == 65535                        # clipped far
+    assert mm[1, 1] == 0                            # negative clamped
+    assert mm[1, 2] == 0                            # sub-mm rounds to 0
+
+    sensor = np.arange(6, dtype=np.uint16).reshape(2, 3) * 300
+    packed2 = FoundationPose.pack_frame(rgb, sensor, "u16mm")
+    np.testing.assert_array_equal(
+        packed2[rgb.size:].view(np.uint16).reshape(2, 3), sensor
+    )
+    with pytest.raises(ValueError):
+        FoundationPose.pack_frame(rgb, depth, "f16mm")
