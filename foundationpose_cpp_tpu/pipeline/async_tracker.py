@@ -41,7 +41,10 @@ class AsyncTracker:
     as uint16 millimeters (the sensor-native encoding the reference reads,
     help_func.hpp:10-52): H*W*5 bytes per frame instead of H*W*7, cutting
     the per-frame H2D transfer -- the deployment path's known bottleneck
-    -- by 29%. depth_format="f32" keeps the metric-float layout.
+    -- by 29%. depth_format="f32" keeps the metric-float layout; opt-in
+    rgb_half additionally ships the color plane at half resolution
+    (H*W*2.75 bytes total -- see make_packed_tracker for the quality
+    trade).
     """
 
     def __init__(
@@ -52,6 +55,7 @@ class AsyncTracker:
         capacity: int = 4,
         refine_itr: int = 1,
         depth_format: str = "u16mm",
+        rgb_half: bool = False,
     ) -> None:
         from foundationpose_cpp_tpu import native
 
@@ -61,8 +65,11 @@ class AsyncTracker:
         self._hw = (h, w)
         self._refine_itr = refine_itr
         self._depth_format = depth_format
-        # pack rgb (3*u8) + depth (u16 mm | f32) per pixel into bytes
-        self._rgb_bytes = h * w * 3
+        self._rgb_half = bool(rgb_half)
+        # pack rgb (3*u8, optionally half-res) + depth (u16 mm | f32)
+        self._rgb_bytes = (
+            (h // 2) * (w // 2) * 3 if rgb_half else h * w * 3
+        )
         self._depth_bytes = h * w * {"u16mm": 2, "f32": 4}[depth_format]
         self._ring = native.FrameRing(
             (self._rgb_bytes + self._depth_bytes,), np.uint8, capacity
@@ -87,13 +94,18 @@ class AsyncTracker:
                 + f", got {depth.dtype} {depth.shape}"
             )
         self._ring.push(
-            FoundationPose.pack_frame(rgb, depth, self._depth_format)
+            FoundationPose.pack_frame(
+                rgb, depth, self._depth_format, rgb_half=self._rgb_half
+            )
         )
         self._frame_counter += 1
 
     def _unpack(self, buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h, w = self._hw
-        rgb = buf[: self._rgb_bytes].reshape(h, w, 3)
+        if self._rgb_half:
+            rgb = buf[: self._rgb_bytes].reshape(h // 2, w // 2, 3)
+        else:
+            rgb = buf[: self._rgb_bytes].reshape(h, w, 3)
         if self._depth_format == "u16mm":
             depth = (
                 buf[self._rgb_bytes:].view(np.uint16).reshape(h, w)
@@ -138,7 +150,7 @@ class AsyncTracker:
         if self._packed_step is None:
             self._packed_step = self._model.make_packed_tracker(
                 self._target, self._hw, self._refine_itr,
-                depth_format=self._depth_format,
+                depth_format=self._depth_format, rgb_half=self._rgb_half,
             )
         step = self._packed_step
         pose_dev = jax.device_put(

@@ -569,6 +569,7 @@ class FoundationPose:
         frame_hw: tuple[int, int],
         refine_itr: int = 1,
         depth_format: str = "u16mm",
+        rgb_half: bool = False,
     ):
         """Deployment fast path for per-frame tracking (AsyncTracker).
 
@@ -589,7 +590,14 @@ class FoundationPose:
             29% less H2D than f32; mm->m conversion happens on-device.
           * "f32": float32 meters, H*W*7 bytes -- for producers that
             already hold filtered/metric depth at sub-mm precision.
-        Use packed_frame_bytes() for the exact buffer size.
+
+        rgb_half ships the color plane at HALF resolution ((H/2)*(W/2)*3
+        bytes, 2x2 box-downsampled by pack_frame; bilinearly upsampled
+        on-device) -- H*W*2.75 bytes per frame with u16mm, a further 45%
+        H2D cut for transfer-starved links. Depth stays full-res (it
+        drives the geometry); the quality cost is color-detail only and
+        only when the object's crop magnifies past the camera's Nyquist,
+        so it is opt-in. Requires even H, W.
         """
         if target_name not in self._meshes:
             raise KeyError(
@@ -606,13 +614,21 @@ class FoundationPose:
                 f"[FoundationPose] frame ({h}, {w}) exceeds max "
                 f"({self._max_h}, {self._max_w})"
             )
+        if rgb_half and (h % 2 or w % 2):
+            raise ValueError(f"rgb_half requires even frame dims, got ({h}, {w})")
         mesh = self._meshes[target_name]
-        rgb_n = h * w * 3
+        rgb_n = (h // 2) * (w // 2) * 3 if rgb_half else h * w * 3
         itr = int(refine_itr)
 
         @jax.jit
         def step(params_r, packed, pose):
-            rgb = packed[:rgb_n].reshape(h, w, 3).astype(jnp.float32)
+            if rgb_half:
+                small = packed[:rgb_n].reshape(h // 2, w // 2, 3)
+                rgb = jax.image.resize(
+                    small.astype(jnp.float32), (h, w, 3), method="linear"
+                )
+            else:
+                rgb = packed[:rgb_n].reshape(h, w, 3).astype(jnp.float32)
             if depth_format == "u16mm":
                 depth = jax.lax.bitcast_convert_type(
                     packed[rgb_n:].reshape(h, w, 2), jnp.uint16
@@ -634,24 +650,41 @@ class FoundationPose:
         return bound
 
     @staticmethod
-    def packed_frame_bytes(frame_hw: tuple[int, int], depth_format: str = "u16mm") -> int:
+    def packed_frame_bytes(
+        frame_hw: tuple[int, int],
+        depth_format: str = "u16mm",
+        rgb_half: bool = False,
+    ) -> int:
         """Byte size of one make_packed_tracker/FrameRing frame."""
         h, w = int(frame_hw[0]), int(frame_hw[1])
-        per_px = {"u16mm": 5, "f32": 7}[depth_format]
-        return h * w * per_px
+        depth_b = h * w * {"u16mm": 2, "f32": 4}[depth_format]
+        rgb_b = (h // 2) * (w // 2) * 3 if rgb_half else h * w * 3
+        return rgb_b + depth_b
 
     @staticmethod
     def pack_frame(
-        rgb: np.ndarray, depth: np.ndarray, depth_format: str = "u16mm"
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        depth_format: str = "u16mm",
+        rgb_half: bool = False,
     ) -> np.ndarray:
         """Pack (rgb u8 (H,W,3), depth (H,W)) into one contiguous u8 buffer
         matching make_packed_tracker's wire layout.
 
         For "u16mm", f32-meter depth is quantized to whole millimeters
         (the sensor's native resolution; values clip to [0, 65.535] m) --
-        pass a uint16 array to skip the conversion entirely.
+        pass a uint16 array to skip the conversion entirely. rgb_half
+        2x2-box-downsamples the color plane (see make_packed_tracker).
         """
-        rgb_flat = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1)
+        rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+        if rgb_half:
+            hh, ww = rgb.shape[0] // 2, rgb.shape[1] // 2
+            rgb = (
+                rgb.reshape(hh, 2, ww, 2, 3).astype(np.uint16)
+                .sum(axis=(1, 3)) + 2
+            ) // 4
+            rgb = rgb.astype(np.uint8)
+        rgb_flat = rgb.reshape(-1)
         if depth_format == "u16mm":
             if depth.dtype == np.uint16:
                 d = np.ascontiguousarray(depth)

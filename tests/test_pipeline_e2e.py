@@ -284,3 +284,59 @@ def test_pack_frame_u16_edge_cases():
     )
     with pytest.raises(ValueError):
         FoundationPose.pack_frame(rgb, depth, "f16mm")
+
+
+def test_packed_tracker_rgb_half_parity(scene, model):
+    """rgb_half ships the color plane at half resolution (H*W*2.75 bytes
+    with u16mm); parity oracle = track() fed the same on-device-style
+    box-down + bilinear-up color (depth is untouched, so only color
+    detail differs from the full-res path)."""
+    import jax.image
+
+    from foundationpose_cpp_tpu.pipeline.foundationpose import FoundationPose
+
+    _, _, pose, rgb, depth, mask = scene
+    step = model.make_packed_tracker(
+        "cube", (H, W), depth_format="u16mm", rgb_half=True
+    )
+    packed = FoundationPose.pack_frame(rgb, depth, "u16mm", rgb_half=True)
+    assert packed.nbytes == FoundationPose.packed_frame_bytes(
+        (H, W), "u16mm", rgb_half=True
+    ) == (H // 2) * (W // 2) * 3 + H * W * 2
+    got = np.asarray(
+        step(jnp.asarray(packed), jnp.asarray(pose, jnp.float32))
+    )
+    # oracle: identical wire processing on the host side
+    small = packed[: (H // 2) * (W // 2) * 3].reshape(H // 2, W // 2, 3)
+    rgb_up = np.asarray(jax.image.resize(
+        jnp.asarray(small, jnp.float32), (H, W, 3), method="linear"
+    ))
+    depth_q = (
+        np.round(depth.astype(np.float64) * 1000).astype(np.uint16)
+        .astype(np.float32) * 1e-3
+    )
+    want = np.asarray(model.track(
+        np.clip(np.round(rgb_up), 0, 255).astype(np.uint8), depth_q,
+        pose, "cube",
+    ))
+    assert got.shape == (4, 4)
+    # the wire path feeds the UNROUNDED bilinear rgb into the model while
+    # track() takes u8 -- compare against the rounded-oracle track with a
+    # tolerance bounding the 0.5-LSB color difference's effect
+    np.testing.assert_allclose(got, want.reshape(4, 4), atol=5e-3)
+    # and the refined pose stays a rigid transform near the input
+    r = got[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-3)
+
+
+def test_packed_tracker_rgb_half_odd_dims_rejected():
+    cube = procedural.textured_cube(size=0.1)
+    m = create_foundationpose_model(
+        networks.init_refiner(0, NET_CFG), networks.init_scorer(1, NET_CFG),
+        [cube],
+        np.array([[120.0, 0, 26], [0, 120.0, 18], [0, 0, 1]], np.float32),
+        max_input_image_h=37, max_input_image_w=53,
+        config=CFG, net_config=NET_CFG,
+    )
+    with pytest.raises(ValueError, match="even frame dims"):
+        m.make_packed_tracker("cube", (37, 53), rgb_half=True)

@@ -33,6 +33,14 @@ def main() -> None:
     ap.add_argument("--patch-k", type=int, default=0,
                     help="per-face texel patch edge (0 = corner colors)")
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--p2-window", type=int, default=None)
+    ap.add_argument("--views-pp", type=int, default=1,
+                    help="views per Pallas program (amortizes tile-constant "
+                         "setup)")
+    ap.add_argument("--p2-anchor", action="store_true")
+    ap.add_argument("--auto", action="store_true",
+                    help="use the mesh's production auto_kernel_knobs "
+                         "(overrides --chunk/--p2-window)")
     ap.add_argument("--p1-group", type=int, default=1,
                     help="superchunk gate width for phase 1 (1 = off)")
     ap.add_argument("--no-quadrant-split", action="store_true")
@@ -62,6 +70,13 @@ def main() -> None:
     )
     print(f"mesh: {tables.num_faces} faces, cull_ok={tables.backface_cull_ok}")
 
+    chunk, p2_window = args.chunk, args.p2_window
+    if args.auto:
+        chunk = tables.kernel_chunk or chunk
+        p2_window = tables.kernel_p2_window
+    print(f"knobs: chunk={chunk} p2_window={p2_window} "
+          f"views_pp={args.views_pp} p2_anchor={args.p2_anchor}")
+
     gt = synthetic.default_pose(tz=args.tz)
     rot_grid = jnp.asarray(icosphere.make_rotation_grid())[:n]
     poses = rot_grid.at[:, :3, 3].set(jnp.asarray(gt[:3, 3])[None])
@@ -81,10 +96,13 @@ def main() -> None:
             tables, poses, clip, hw, hw,
             w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-            debug_phase1_only=args.phase1_only, chunk=args.chunk,
+            debug_phase1_only=args.phase1_only, chunk=chunk,
             quadrant_split=not args.no_quadrant_split,
             debug_prepass_only=args.prepass_only,
             p1_group=args.p1_group,
+            p2_window=p2_window,
+            views_pp=args.views_pp,
+            p2_anchor=args.p2_anchor,
         )
 
     @jax.jit
