@@ -176,7 +176,11 @@ def train_refiner_multi(
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
     Kj = jnp.asarray(K if K is not None else single.default_intrinsics(tcfg))
-    net_cfg_t = dataclasses.replace(net_cfg, dtype=jnp.float32)
+    # attn_impl: the whole-head Pallas kernel is forward-only; training
+    # differentiates through the (numerically equivalent) XLA core
+    net_cfg_t = dataclasses.replace(
+        net_cfg, dtype=jnp.float32, attn_impl="xla"
+    )
 
     def make_batch(key):
         return _multi_batch(
@@ -209,7 +213,10 @@ def train_scorer_multi(
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
     Kj = jnp.asarray(K if K is not None else single.default_intrinsics(tcfg))
-    net_cfg_t = dataclasses.replace(net_cfg, dtype=jnp.float32)
+    # forward-only Pallas attention: see train_refiner_multi
+    net_cfg_t = dataclasses.replace(
+        net_cfg, dtype=jnp.float32, attn_impl="xla"
+    )
 
     def make_batch(key):
         return _multi_batch(

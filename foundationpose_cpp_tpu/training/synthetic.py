@@ -545,8 +545,12 @@ def train_refiner(
         use_fused = jax.default_backend() == "tpu"
     Kj = jnp.asarray(K if K is not None else default_intrinsics(tcfg))
     # train in f32: conv VJPs reject the bf16-in/f32-accum mix the inference
-    # path uses (XLA:TPU still runs f32 matmuls as bf16 passes on the MXU)
-    net_cfg_t = dataclasses.replace(net_cfg, dtype=jnp.float32)
+    # path uses (XLA:TPU still runs f32 matmuls as bf16 passes on the MXU).
+    # attn_impl: the whole-head Pallas kernel is forward-only; training
+    # differentiates through the (numerically equivalent) XLA core.
+    net_cfg_t = dataclasses.replace(
+        net_cfg, dtype=jnp.float32, attn_impl="xla"
+    )
 
     def make_batch(key):
         return make_refiner_batch(
@@ -578,7 +582,10 @@ def train_scorer(
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
     Kj = jnp.asarray(K if K is not None else default_intrinsics(tcfg))
-    net_cfg_t = dataclasses.replace(net_cfg, dtype=jnp.float32)
+    # forward-only Pallas attention: see train_refiner
+    net_cfg_t = dataclasses.replace(
+        net_cfg, dtype=jnp.float32, attn_impl="xla"
+    )
 
     def make_batch(key):
         return make_scorer_batch(

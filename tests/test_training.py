@@ -211,6 +211,23 @@ def test_scorer_training_runs(mesh):
     )
 
 
+def test_trainers_override_forward_only_attention(mesh):
+    """Trainers must force attn_impl="xla": the whole-head Pallas kernel is
+    forward-only (pallas_call has no VJP), and on TPU NetConfig's "auto"
+    resolves to it -- an un-overridden trainer crashes at the first
+    value_and_grad with a linearization error. Simulate the TPU choice on
+    CPU with an explicit pallas request; the trainer must still train."""
+    import dataclasses
+
+    net = dataclasses.replace(NET, attn_impl="pallas_interpret")
+    params = tr.train_scorer(
+        mesh, CFG, net, TCFG, steps=2, seed=1, use_fused=False,
+    )
+    assert all(
+        bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(params)
+    )
+
+
 def test_scorer_cross_attention_grouping():
     """MultiPair cross-attention stays within a scene's hypothesis group."""
     cfg = networks.NetConfig(
