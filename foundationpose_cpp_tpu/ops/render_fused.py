@@ -317,7 +317,8 @@ def auto_kernel_knobs(num_faces: int) -> dict:
     jax.tree_util.register_dataclass,
     data_fields=["face_verts", "face_normals", "face_colors", "face_patch"],
     meta_fields=["num_faces", "diameter", "backface_cull_ok", "patch_k",
-                 "kernel_chunk", "kernel_p2_window", "kernel_p2_anchor"],
+                 "kernel_chunk", "kernel_p2_window", "kernel_p2_anchor",
+                 "kernel_views_pp"],
 )
 @dataclasses.dataclass(frozen=True)
 class FusedMeshTables:
@@ -352,6 +353,7 @@ class FusedMeshTables:
     kernel_chunk: int | None = None
     kernel_p2_window: int | None = None
     kernel_p2_anchor: bool = False
+    kernel_views_pp: int | None = None
 
     @staticmethod
     def from_asset(
@@ -429,6 +431,7 @@ class FusedMeshTables:
             kernel_chunk=knobs["chunk"],
             kernel_p2_window=knobs["p2_window"],
             kernel_p2_anchor=knobs.get("p2_anchor", False),
+            kernel_views_pp=knobs.get("views_pp"),
         )
 
 

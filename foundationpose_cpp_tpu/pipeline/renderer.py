@@ -257,6 +257,8 @@ def render_branch(
             knobs["p2_window"] = mesh.fused.kernel_p2_window
         if mesh.fused.kernel_p2_anchor:
             knobs["p2_anchor"] = True
+        if mesh.fused.kernel_views_pp is not None:
+            knobs["views_pp"] = mesh.fused.kernel_views_pp
         return render_views_fused(
             mesh.fused, poses, clip_mat, ch, cw,
             w_ambient=cfg.w_ambient, w_diffuse=cfg.w_diffuse,

@@ -338,6 +338,57 @@ def main() -> None:
                                          "p1_livelist": True,
                                          "p2_dynamic": True,
                                          "p2_anchor": True}),
+        # round-5: views-per-program (amortize the ~1 MB tile-constant
+        # VMEM setup -- lane geometry, plane-eval bases, phase-1/2 iotas
+        # -- across a static unroll over views of the same tile). Swept
+        # at the production point (auto knobs: c64 + pow2 window +
+        # livelist/dyn defaults) plus phase-1-only isolation and the
+        # anchored-window alternative.
+        ("patch4_c64_w1024_vpp2", tbl_patch, {"chunk": 64,
+                                              "p2_window": 1024,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True,
+                                              "views_pp": 2}),
+        ("patch4_c64_w1024_vpp4", tbl_patch, {"chunk": 64,
+                                              "p2_window": 1024,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True,
+                                              "views_pp": 4}),
+        ("patch4_c64_w1024_vpp7", tbl_patch, {"chunk": 64,
+                                              "p2_window": 1024,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True,
+                                              "views_pp": 7}),
+        ("corner_c64_w1024_vpp2", tbl_corner, {"chunk": 64,
+                                               "p2_window": 1024,
+                                               "p1_livelist": True,
+                                               "p2_dynamic": True,
+                                               "views_pp": 2}),
+        ("corner_c64_w1024_vpp4", tbl_corner, {"chunk": 64,
+                                               "p2_window": 1024,
+                                               "p1_livelist": True,
+                                               "p2_dynamic": True,
+                                               "views_pp": 4}),
+        ("corner_c64_p1_vpp2", tbl_corner, {"chunk": 64,
+                                            "p1_livelist": True,
+                                            "views_pp": 2,
+                                            "debug_phase1_only": True}),
+        ("corner_c64_p1_vpp4", tbl_corner, {"chunk": 64,
+                                            "p1_livelist": True,
+                                            "views_pp": 4,
+                                            "debug_phase1_only": True}),
+        ("patch4_c64_wa256_vpp2", tbl_patch, {"chunk": 64,
+                                              "p2_window": 256,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True,
+                                              "p2_anchor": True,
+                                              "views_pp": 2}),
+        ("patch4_c64_wa256_vpp4", tbl_patch, {"chunk": 64,
+                                              "p2_window": 256,
+                                              "p1_livelist": True,
+                                              "p2_dynamic": True,
+                                              "p2_anchor": True,
+                                              "views_pp": 4}),
     ]
     if args.only:
         names = set(args.only.split(","))
