@@ -340,7 +340,18 @@ def main() -> None:
     poses252 = jnp.asarray(
         np.asarray(rot_grid).copy()
     ).at[:, :3, 3].set(jnp.asarray(gt[:3, 3])[None])
+    # Stage times subtract the measured per-call round trip (rtt_s above):
+    # ONE host round-trip through the axon tunnel costs ~26-40 ms
+    # (measured round 5: an 8-step scan of identical matmuls times
+    # 3.2 ms/iter vs ~0.1 ms of chip work), which at stage_iters=8 used
+    # to inflate every stage_ms by ~3.5 ms. The fps metrics are
+    # unaffected (they amortize over their full runs). stage_iters stays
+    # at 8 because the net loops stack stage_iters copies of the 252-crop
+    # inputs (620 MB each at f32) -- 32 copies OOM the 16 GB chip.
     stage_iters = 8
+
+    def _stage_ms(elapsed_s):
+        return max((elapsed_s - rtt_s) / stage_iters, 0.0) * 1e3
 
     @jax.jit
     def render_loop(poses_s):
@@ -358,7 +369,7 @@ def main() -> None:
     _ = np.asarray(render_loop(poses_s))
     t0 = time.perf_counter()
     _ = np.asarray(render_loop(poses_s))
-    render_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+    render_ms = _stage_ms(time.perf_counter() - t0)
 
     ri, ti = render_and_transform(
         mesh, poses252, rgb, xyz_map, Kj, cfg.refine_crop_ratio, cfg, None,
@@ -402,19 +413,19 @@ def main() -> None:
     _ = np.asarray(render_loop_corner(poses_s))
     t0 = time.perf_counter()
     _ = np.asarray(render_loop_corner(poses_s))
-    render_corner_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+    render_corner_ms = _stage_ms(time.perf_counter() - t0)
 
     refiner_loop = net_loop(networks.apply_refiner)
     _ = np.asarray(refiner_loop(params_r, ris, tis))
     t0 = time.perf_counter()
     _ = np.asarray(refiner_loop(params_r, ris, tis))
-    refiner_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+    refiner_ms = _stage_ms(time.perf_counter() - t0)
 
     scorer_loop = net_loop(networks.apply_scorer)
     _ = np.asarray(scorer_loop(params_s, ris, tis))
     t0 = time.perf_counter()
     _ = np.asarray(scorer_loop(params_s, ris, tis))
-    scorer_ms = (time.perf_counter() - t0) / stage_iters * 1e3
+    scorer_ms = _stage_ms(time.perf_counter() - t0)
 
     # ---- Scanned-mesh scale (BundleSDF config at realistic size): a dense
     # scan stand-in decimated by the loader path, auto-subdivision policy

@@ -253,6 +253,62 @@ def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+# above this many faces, greedy clustering runs per Morton block of
+# _CLUSTER_BLOCK faces instead of globally: the global O(F^2/chunk)
+# distance work is ~0.1 s at 6k faces but ~5 s at 57k, while blockwise
+# clustering stays ~0.1 s and costs only a few % more quadrant visits
+# (6016-face sphere: global 397/view, block-2048 419, morton 525)
+_CLUSTER_GLOBAL_MAX = 20_000
+_CLUSTER_BLOCK = 4096
+
+
+def cluster_order(points: np.ndarray, chunk: int) -> np.ndarray:
+    """Order 3-D points into compact groups of `chunk` by greedy
+    nearest-to-seed growth (seeds advance in Morton order).
+
+    Phase 1 of the megakernel culls FACE CHUNKS by the screen bbox of
+    `chunk` consecutive faces, so chunk compactness in object space is
+    what bounds the wasted (face, pixel) evaluations. A Morton curve
+    gives locality but its chunks are elongated curve segments; greedy
+    radial growth around a seed yields near-disk patches -- measured on
+    the 6016-face bench sphere (numpy prepass replica, 252 views):
+    quadrant visits/view 525 -> 397 (-24%), livelist entries 222 -> 180,
+    phase-2 window visits unchanged. Deterministic. Within each patch,
+    faces keep their Morton sub-order so phase-2 winner index ranges stay
+    compact; large meshes cluster per Morton block (see _CLUSTER_BLOCK).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    n = pts.shape[0]
+    if n > _CLUSTER_GLOBAL_MAX:
+        mo = morton_order(pts)
+        parts = []
+        for s0 in range(0, n, _CLUSTER_BLOCK):
+            sub = mo[s0 : s0 + _CLUSTER_BLOCK]
+            parts.append(sub[cluster_order(pts[sub], chunk)])
+        return np.concatenate(parts)
+    morton = morton_order(pts)
+    morton_rank = np.argsort(morton)
+    unassigned = np.ones(n, bool)
+    order = np.empty(n, dtype=np.int64)
+    got = 0
+    ptr = 0
+    while got < n:
+        while ptr < n and not unassigned[morton[ptr]]:
+            ptr += 1
+        seed = morton[ptr]
+        d = np.einsum("ij,ij->i", pts - pts[seed], pts - pts[seed])
+        d[~unassigned] = np.inf
+        k = min(chunk, n - got)
+        take = np.argpartition(d, k - 1)[:k]
+        # stable within the patch: keep Morton sub-order so phase-2 winner
+        # ranges stay index-compact
+        take = take[np.argsort(morton_rank[take], kind="stable")]
+        order[got : got + k] = take
+        unassigned[take] = False
+        got += k
+    return order
+
+
 def _weld_positions(verts: np.ndarray) -> np.ndarray:
     """Canonical vertex id per position (seam/pole duplicates welded)."""
     key = np.round(np.asarray(verts, np.float64) * 1e6).astype(np.int64)
@@ -379,7 +435,11 @@ class FusedMeshTables:
         if cull_ok and signed_volume(centered, faces0) < 0:
             faces0 = faces0[:, ::-1]  # normalize to outward winding
         fv = centered[faces0]  # (F, 3, 3)
-        order = morton_order(fv.mean(axis=1))  # spatial locality for chunks
+        # compact CHUNKS, not just a locality curve: phase 1 culls by the
+        # union bbox of `chunk` consecutive faces (see cluster_order)
+        order = cluster_order(
+            fv.mean(axis=1), auto_kernel_knobs(fv.shape[0])["chunk"]
+        )
         faces = faces0[order]
         fv = centered[faces]
         fn = asset.vertex_normals[faces]
@@ -441,8 +501,10 @@ class FusedMeshTables:
 
 def _fused_kernel(
     coeff_ref,  # (1, F_pad, 16) VMEM: [a0(3) a1(3) a2(3) zwplane(3) pad]
-    attr_ref,  # (1, 24|16, F_pad) VMEM: corners x [r g b x y z d pad]
-    #            (patch mode: corners x [x y z d], colors ride patch_ref)
+    attr_ref,  # (1, 24|32, F_pad) VMEM: the pre-combined phase-2 table --
+    #            9 edge-coefficient rows, then corner attributes
+    #            (patch mode: corners x [x y z d] + 3 pad rows; corner mode:
+    #            corners x [r g b x y z d pad], final pad row dropped)
     bits_ref,  # (1, n_tiles, W32) SMEM i32: chunk-overlap bitmask per tile
     cbb_ref,  # (1, n_chunks, 4) SMEM f32: chunk bboxes [y0 y1 x0 x1]
     trans_ref,  # (1, 1, 8) SMEM: [tx ty tz 0 0 0 0 0]
@@ -751,14 +813,13 @@ def _fused_kernel(
 
         def attr_resolve(table, lo, qs):
             """Blend the winner's attributes into span lanes [qs, qs+span)."""
-            mf = (pos_lanes == (best_pos[:, qs : qs + span] - lo)).astype(
-                jnp.float32
-            )
+            bp = best_pos[:, qs : qs + span]
+            mf = (pos_lanes == (bp - lo)).astype(jnp.float32)
             ext = jax.lax.dot_general(
                 table, mf,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (33|75, span): winner's scalars per pixel (0 where no winner)
+            )  # (32|75, span): winner's scalars per pixel (0 where no winner)
 
             fx_q = fx[:, qs : qs + span]
             fy_q = fy[:, qs : qs + span]
@@ -773,7 +834,12 @@ def _fused_kernel(
             b1 = sa1 * iw
             b2 = 1.0 - b0 - b1
 
-            hit = jnp.sum(mf, axis=0, keepdims=True)  # 1 where winner here
+            # 1 where this window resolves the pixel's winner. A scalar range
+            # test on best_pos -- NOT a (p2w, span) column-sum of the one-hot
+            # (a p2w-row vector reduction per visit, measured dead weight):
+            # both give exactly 1.0 / 0.0 for in-window winners / everything
+            # else (background carries best_pos = _BIG, out of every window).
+            hit = ((bp >= lo) & (bp < lo + p2w)).astype(jnp.float32)
             if not patch_k:
                 rows = [
                     b0 * ext[9 + c : 10 + c]
@@ -816,17 +882,19 @@ def _fused_kernel(
                     jnp.maximum(0.0, 1.0 - jnp.abs(t - float(i)))
                     for i in range(pk)
                 ]
+                # tensor-product weights built ONCE and shared by the three
+                # channels: pk^2 multiplies + 3*pk^2 FMAs instead of the
+                # nested per-channel blend (pk^2 + pk multiplies and adds PER
+                # channel) -- the patch blend is pure (1, span) VPU work paid
+                # per visit, so the op count is the cost
+                wgt = [wv[i] * wu[j] for i in range(pk) for j in range(pk)]
                 tex0 = sb + 6
                 rgb = []
                 for c in range(3):
                     acc = None
-                    for i in range(pk):
-                        r0 = tex0 + c * pk * pk + i * pk
-                        inner = None
-                        for j in range(pk):
-                            term = wu[j] * ext[r0 + j : r0 + j + 1]
-                            inner = term if inner is None else inner + term
-                        term = wv[i] * inner
+                    r0 = tex0 + c * pk * pk
+                    for k, w in enumerate(wgt):
+                        term = w * ext[r0 + k : r0 + k + 1]
                         acc = term if acc is None else acc + term
                     rgb.append(acc)
                 rows = rgb + xyzd
@@ -843,24 +911,26 @@ def _fused_kernel(
             # at once -- the previous formulation did ~25 separate masked
             # vector reduces per subchunk and dominated the kernel (226 of
             # 356 ms measured).
-            # only the 9 edge rows are needed (z/w plane + pad rows of the
-            # coeff table are phase-1-only), so the extraction dot is
-            # (33, p2w) not (40, p2w); patch mode appends the patch rows for
-            # (21 + 6 + 3*pk^2, p2w)
-            cf = coeff_ref[vi, pl.ds(slo, p2w), 0:9].T  # (9, p2w)
-            at = attr_ref[vi, :, pl.ds(slo, p2w)]  # (24|16, p2w)
+            # attr_ref carries the phase-2 table PRE-COMBINED component-major
+            # (9 edge rows + corner attrs, built by the prepass), so the
+            # per-visit staging is ONE lane slice -- the earlier formulation
+            # sliced the 9 edge rows out of the face-major phase-1 coeff
+            # table, paying a (p2w, 9) -> (9, p2w) Mosaic transpose plus a
+            # second concat per visit.
             if patch_k:
-                at = at[0:12]  # [x y z d] x 3 corners (pad rows dropped)
+                cfat = attr_ref[vi, 0:21, pl.ds(slo, p2w)]  # (21, p2w)
                 pt = patch_ref[:, pl.ds(slo, p2w)]
                 pt = pt[0 : 6 + 3 * patch_k * patch_k]
-                # ONE f32 extraction dot for everything. A split variant
-                # (27-row f32 dot + separate bf16 texel dot) was measured
-                # SLOWER both with a per-visit cast (95 vs 89 ms) and with
-                # a bf16-stored table (95/175 vs 89/172) -- the second
-                # dot's fixed cost exceeds the MXU-rate saving.
-                table = jnp.concatenate([cf, at, pt], axis=0)  # (75, p2w)
+                # ONE all-f32 extraction dot (75, p2w). Precision/split
+                # variants re-measured round 5 at this slice staging: a
+                # 9-row f32 edge dot + 66-row bf16 attr dot 58.7 ms, the
+                # whole table cast bf16 52.5 vs 52.8 f32 -- the dot is not
+                # MXU-rate-bound, so f32 keeps exactness for free.
+                table = jnp.concatenate([cfat, pt], axis=0)  # (75, p2w)
             else:
-                table = jnp.concatenate([cf, at], axis=0)  # (33, p2w)
+                # 9 edges + corner-major [r g b x y z d pad] x 3 with the
+                # final pad row dropped = 32 rows, sublane-aligned exactly
+                table = attr_ref[vi, 0:32, pl.ds(slo, p2w)]  # (32, p2w)
             attr_resolve(table, slo, 0)
 
         # window-major: for p2w <= chunk this visits the same set as the old
@@ -997,6 +1067,7 @@ def render_views_fused(
     accumulation): ~2x the MXU rate for sub-1/16-pixel silhouette jitter
     -- a PRECISION knob, not a scheduling knob; the image may differ at
     razor-edge pixels vs the f32 default.
+
 
     clip_mats: (N, 4, 4) mesh-frame -> crop-NDC matrices (pose_clip_matrix).
     Output is shaded, vertically flipped, thresholded/diameter-normalized:
@@ -1237,27 +1308,36 @@ def render_views_fused(
 
     patch_k = int(tables.patch_k)
     colors = tables.face_colors  # (F, 3, 3) pose-independent
-    attr_planes = []
+    # the phase-2 extraction table, PRE-COMBINED component-major: the 9
+    # edge-coefficient rows (same masked/oriented planes phase 1 reads
+    # face-major) followed by the corner attributes, so the kernel's
+    # per-visit staging is one lane slice (no transpose, no edge/attr
+    # concat). Costs 9 extra rows of HBM per view vs the attr-only table;
+    # saves a (p2w, 9) Mosaic transpose per (tile, window) visit.
+    tail_planes = []  # table rows after the 9 edges (corner attributes)
     if patch_k:
         # colors ride the pose-independent patch table (ONE copy, not
-        # broadcast per view); the per-view attr table shrinks to
-        # corner-major [x y z d] x 3 + 4 pad rows = 16 -- a third less HBM
-        # traffic than the 24-row corner-color layout
+        # broadcast per view); the per-view rows beyond the edges are just
+        # corner-major [x y z d] x 3 -- colors would cost 9 more rows of
+        # HBM traffic per view
         for k in range(3):
             for q in range(3):
-                attr_planes.append(padf(attr_xyz[k][q]))
-            attr_planes.append(padf(diffuse_k[k]))
-        attr_planes += [zeros] * 4
+                tail_planes.append(padf(attr_xyz[k][q]))
+            tail_planes.append(padf(diffuse_k[k]))
     else:
         for k in range(3):  # corner-major: r g b x y z d pad
             for q in range(3):
-                attr_planes.append(
+                tail_planes.append(
                     padf(jnp.broadcast_to(colors[None, :, k, q], (n, f)))
                 )
             for q in range(3):
-                attr_planes.append(padf(attr_xyz[k][q]))
-            attr_planes.append(padf(diffuse_k[k]))
-            attr_planes.append(zeros)
+                tail_planes.append(padf(attr_xyz[k][q]))
+            tail_planes.append(padf(diffuse_k[k]))
+            tail_planes.append(zeros)
+        tail_planes = tail_planes[:-1]  # drop the last pad row (row 33)
+    attr_planes = list(coeff_planes[0:9]) + tail_planes
+    while len(attr_planes) % 8:
+        attr_planes.append(zeros)  # sublane-align the table rows
     attr_rows = len(attr_planes)
 
     # chunk union bboxes -> per-(view, tile) overlap bitmask
