@@ -213,13 +213,25 @@ def _self_attention(x, p, num_heads, attn_impl="auto"):
     n, t, d = x.shape
     hd = d // num_heads
     qkv = _linear(x, p["qkv_w"], p["qkv_b"])  # (N, T, 3D)
+    use_pallas = _use_pallas_attn(attn_impl, num_heads, t, hd, x.dtype)
+    if use_pallas and hd % 128 == 0:
+        # packed-qkv kernel: heads are lane slices of the projection, so
+        # the (N, T, 3D) -> (N, H, T, hd) transposes (and the output
+        # un-transpose) never exist -- they cost more than the attention
+        # core at production shapes (tools/bench_attn.py)
+        out = attention_pallas.mha_packed_qkv(
+            qkv, num_heads,
+            scale=1.0 / math.sqrt(hd),
+            interpret=attn_impl == "pallas_interpret",
+        )
+        return _linear(out, p["proj_w"], p["proj_b"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(a):
         return a.reshape(n, t, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    if _use_pallas_attn(attn_impl, num_heads, t, hd, x.dtype):
+    if use_pallas:
         out = attention_pallas.mha_whole_head(
             q, k, v,
             scale=1.0 / math.sqrt(hd),

@@ -105,3 +105,72 @@ def mha_whole_head(
         out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+def _kernel_packed(qkv_ref, o_ref, *, num_heads, head_dim, scale):
+    # heads are LANE SLICES of the packed projection: head j's q/k/v live
+    # at columns [j*hd), [D + j*hd), [2D + j*hd) of the (T, 3D) block --
+    # no head-axis transpose ever exists, in XLA or here (hd % 128 == 0
+    # keeps every slice lane-tile aligned)
+    d = num_heads * head_dim
+    for j in range(num_heads):
+        q = qkv_ref[0, :, j * head_dim : (j + 1) * head_dim]
+        k = qkv_ref[0, :, d + j * head_dim : d + (j + 1) * head_dim]
+        v = qkv_ref[0, :, 2 * d + j * head_dim : 2 * d + (j + 1) * head_dim]
+        qf = q.astype(jnp.float32) * scale
+        logits = jax.lax.dot_general(
+            qf.astype(k.dtype), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, T) f32, never leaves VMEM
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        attn = (e * (1.0 / s)).astype(v.dtype)
+        o_ref[0, :, j * head_dim : (j + 1) * head_dim] = jax.lax.dot_general(
+            attn, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret")
+)
+def mha_packed_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention straight off the packed qkv projection.
+
+    qkv: (B, T, 3D) -- torch's in_proj output layout [q | k | v], each D
+    wide with heads contiguous (head j = columns j*hd : (j+1)*hd).
+    Returns (B, T, D): per-head softmax(q k^T scale) v written back with
+    heads concatenated on lanes -- the layout the output projection
+    consumes directly. Compared to mha_whole_head this removes BOTH
+    XLA-side head reshape/transposes of q/k/v and the output
+    un-transpose (measured: the transposes cost more than the attention
+    core at production shapes). Requires head_dim % 128 == 0 so head
+    slices are lane-aligned; caller falls back to the generic path
+    otherwise.
+    """
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    if hd % 128:
+        raise ValueError(f"head_dim ({hd}) must be a multiple of 128")
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_packed, num_heads=num_heads, head_dim=hd, scale=scale
+        ),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, t, 3 * d), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv)

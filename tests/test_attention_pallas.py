@@ -112,3 +112,51 @@ def test_fits_vmem_budget():
     assert attention_pallas.fits_vmem(4, 400, 128)
     assert attention_pallas.fits_vmem(4, 252, 128)  # att_cross
     assert not attention_pallas.fits_vmem(4, 4096, 128)
+
+
+def test_packed_qkv_matches_whole_head():
+    """mha_packed_qkv (heads as lane slices of the in_proj output) must
+    equal mha_whole_head on the reshaped/transposed views bit-for-bit --
+    the packed kernel only removes layout work, not arithmetic."""
+    n, t, d, nh = 3, 64, 512, 4
+    hd = d // nh
+    key = jax.random.PRNGKey(7)
+    qkv = jax.random.normal(key, (n, t, 3 * d), jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(a):
+        return a.reshape(n, t, nh, hd).transpose(0, 2, 1, 3)
+
+    want = attention_pallas.mha_whole_head(
+        heads(q), heads(k), heads(v), scale=1.0 / math.sqrt(hd),
+        interpret=True,
+    )
+    want = np.asarray(want).transpose(0, 2, 1, 3).reshape(n, t, d)
+    got = np.asarray(
+        attention_pallas.mha_packed_qkv(qkv, nh, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_qkv_rejects_unaligned_head_dim():
+    qkv = jnp.zeros((1, 8, 3 * 64), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        attention_pallas.mha_packed_qkv(qkv, 2, interpret=True)
+
+
+def test_self_attention_packed_route_matches_xla():
+    """The production route (_self_attention with hd=128 -> packed
+    kernel) agrees with the XLA path to f32 reduce-order noise."""
+    cfg = networks.NetConfig()
+    params = networks.init_refiner(0, cfg)
+    layer = params["encoder"][0]
+    x = jax.random.normal(
+        jax.random.PRNGKey(3), (2, 32, cfg.embed_dim), jnp.float32
+    )
+    got = networks._self_attention(
+        x, layer["attn"], cfg.num_heads, "pallas_interpret"
+    )
+    want = networks._self_attention(x, layer["attn"], cfg.num_heads, "xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
+    )
